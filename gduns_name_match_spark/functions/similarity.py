@@ -81,7 +81,7 @@ def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[st
 
 
 @lru_cache(maxsize=262144)
-def _tfidf_vector(name: str, idf_key: int) -> tuple[dict[str, float], float]:
+def _tfidf_vector(name: str, idf_key: str) -> tuple[dict[str, float], float]:
     """(sparse tf·idf vector, L2 norm) for one compressed name; per-executor cache."""
     idf = _IDF_REGISTRY[idf_key]
     vec: dict[str, float] = {}
@@ -93,12 +93,25 @@ def _tfidf_vector(name: str, idf_key: int) -> tuple[dict[str, float], float]:
     return vec, norm
 
 
-# Per-executor registry of IDF dicts, keyed by id of the broadcast payload, so
-# the lru_cache key stays a small hashable instead of the dict itself.
-_IDF_REGISTRY: dict[int, dict[str, float]] = {}
+# Per-executor-process registry of IDF dicts, keyed by a driver-issued token,
+# so the lru_cache key stays a small hashable instead of the dict itself.
+# IMPORTANT: only mutate via _register_idf — a closure shipped by cloudpickle
+# gets a *copy* of referenced global data, so writes from inside a UDF body
+# would land in the copy, not here.
+_IDF_REGISTRY: dict[str, dict[str, float]] = {}
+_TOKEN_COUNTER = iter(range(1, 1 << 31))
 
 
-def _cosine_dist(a: str, b: str, idf_key: int) -> float:
+def _register_idf(idf_key: str, idf: dict[str, float]) -> None:
+    """Runs on the executor in the real module namespace (by-reference pickle)."""
+    _IDF_REGISTRY[idf_key] = idf
+
+
+def _new_token(tag: str) -> str:
+    return f"{tag}-{next(_TOKEN_COUNTER)}"
+
+
+def _cosine_dist(a: str, b: str, idf_key: str) -> float:
     va, na = _tfidf_vector(a, idf_key)
     vb, nb = _tfidf_vector(b, idf_key)
     if na == 0.0 or nb == 0.0:
@@ -192,12 +205,12 @@ def make_pair_scorer(spark: SparkSession, idf: dict[str, float]):
     registry name is vectorized once, not once per candidate pair.
     """
     bc = spark.sparkContext.broadcast(idf)
+    token = _new_token("pair")
 
     @F.pandas_udf(PAIR_SCORE_SCHEMA)
     def score_pairs(left: pd.Series, right: pd.Series) -> pd.DataFrame:
-        idf_local = bc.value
-        key = id(idf_local)
-        _IDF_REGISTRY[key] = idf_local
+        key = token
+        _register_idf(key, bc.value)
         n = len(left)
         cos = np.empty(n)
         jw = np.empty(n)
@@ -219,12 +232,12 @@ def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):
     replicating the reference's per-group secondary probes
     automation_final2.py:437-441,687-691)."""
     bc = spark.sparkContext.broadcast(idf)
+    token = _new_token("cos")
 
     @F.pandas_udf(T.DoubleType())
     def cosine_dist(left: pd.Series, right: pd.Series) -> pd.Series:
-        idf_local = bc.value
-        key = id(idf_local)
-        _IDF_REGISTRY[key] = idf_local
+        key = token
+        _register_idf(key, bc.value)
         lvals = left.fillna("").to_numpy()
         rvals = right.fillna("").to_numpy()
         return pd.Series([_cosine_dist(a, b, key) for a, b in zip(lvals, rvals)])

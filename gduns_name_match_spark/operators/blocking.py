@@ -1,0 +1,108 @@
+"""Salted blocking-key candidate generation.
+
+Replaces the reference's global TF-IDF kNN probe (automation_final2.py:396-397,
+430-432) — which cannot exist at 10^12 rows — with equi-joinable block keys:
+a name pair is a candidate iff it shares at least one key. Key recall against
+the cosine<=0.2 acceptor is property-tested (tests/test_blocking.py).
+
+Scale design:
+* keys are pure Catalyst expressions (prefix + Soundex + metaphone-lite);
+* per-key frequencies are counted on the registry side; keys whose registry
+  population exceeds ``hot_key_threshold`` are salted — the registry rows
+  replicate across ``n_salt`` shards while each probe row draws one
+  deterministic shard, so one hot key ('firstnationalbank…') cannot pin a
+  single reducer;
+* keys beyond ``max_block`` registry rows are dropped WITH a logged counter
+  (never silently) — at 100 TB a degenerate key would otherwise produce a
+  quadratic pair explosion. Empty normalized names never get keys at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.functions.phonetic import (
+    consonant_skeleton_col,
+    metaphone_lite_col,
+)
+
+
+def block_keys_col(norm_name_col, prefix_len: int = 4):
+    """array<string> of blocking keys for one normalized name (no Python)."""
+    name = F.coalesce(norm_name_col, F.lit(""))
+    keys = F.array(
+        F.concat(F.lit("p:"), F.substring(name, 1, prefix_len)),
+        F.concat(F.lit("s:"), F.soundex(name)),
+        F.concat(F.lit("m:"), metaphone_lite_col(name)),
+        F.concat(F.lit("k:"), consonant_skeleton_col(name)),
+    )
+    # a too-short name yields degenerate keys; require the name itself be
+    # non-trivial, then dedupe ('p:' prefix may equal 'k:' skeleton etc.)
+    return F.when(F.length(name) >= 2, F.array_distinct(keys)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_block_keys(
+    df: DataFrame, norm_col: str = "norm_name", out_col: str = "block_key",
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Explode one row per (row, block_key)."""
+    return df.withColumn(out_col, F.explode(block_keys_col(F.col(norm_col), prefix_len)))
+
+
+def candidate_pairs(
+    probe_keyed: DataFrame,
+    registry_keyed: DataFrame,
+    probe_id: str,
+    registry_id: str,
+    key_col: str = "block_key",
+    hot_key_threshold: int = 1_000,
+    max_block: int = 100_000,
+    n_salt: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Join probe rows to registry rows on shared block keys, salted for skew.
+
+    Returns (pairs, key_stats). ``pairs`` has one row per distinct
+    (probe_id, registry_id) with all columns of both sides; ``key_stats``
+    records per-key registry population and the dropped/hot flags so no cap is
+    silent (lineage requirement, BASELINE.json north_rule).
+    """
+    stats = (
+        registry_keyed.groupBy(key_col)
+        .agg(F.count("*").alias("reg_rows"))
+        .withColumn("is_dropped", F.col("reg_rows") > max_block)
+        .withColumn("is_hot", (F.col("reg_rows") > hot_key_threshold) & ~F.col("is_dropped"))
+    )
+
+    reg = registry_keyed.join(
+        F.broadcast(stats.filter(~F.col("is_dropped")).select(key_col, "is_hot")),
+        key_col,
+    )
+    # hot keys: registry row fans out to every salt shard; cold keys: shard 0
+    reg = reg.withColumn(
+        "salt",
+        F.explode(
+            F.when(F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    ).drop("is_hot")
+
+    probe = probe_keyed.join(
+        F.broadcast(stats.filter(~F.col("is_dropped")).select(key_col, "is_hot")),
+        key_col,
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"), F.pmod(F.xxhash64(F.col(probe_id)), F.lit(n_salt)).cast("int")
+        ).otherwise(F.lit(0)),
+    ).drop("is_hot")
+
+    pairs = (
+        probe.join(reg, [key_col, "salt"])
+        .drop(key_col, "salt")
+        .dropDuplicates([probe_id, registry_id])
+    )
+    return pairs, stats

@@ -7,8 +7,17 @@ ones we would ship to a 1000-executor cluster via spark-submit --conf.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Repo root containing the package — Python workers do NOT inherit the
+# driver's sys.path, so UDF closures referencing this package fail to
+# deserialize unless the package is on the workers' PYTHONPATH. On a real
+# cluster this is `spark-submit --py-files gduns_name_match_spark.zip`
+# (scripts/package_pyfiles.sh builds it); in local mode exporting PYTHONPATH
+# before the JVM forks the worker daemon achieves the same.
+_PKG_ROOT = str(Path(__file__).resolve().parent.parent)
 
 
 def get_spark(
@@ -24,6 +33,12 @@ def get_spark(
     locally; on a real cluster this would be sized to ~2-3x total cores and
     AQE coalesces the rest.
     """
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_ROOT + (os.pathsep + existing if existing else "")
+        )
+
     cores_s = str(cores) if cores else os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores_s == "*" else max(int(cores_s), 32)

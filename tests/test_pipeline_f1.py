@@ -1,0 +1,110 @@
+"""End-to-end golden-cluster gate: pairwise F1 >= 0.99 on labeled mention
+pairs at the fixed blocking key (BASELINE.json metric), plus sentinel-path and
+span-invariant checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.operators.blocking import with_block_keys
+from gduns_name_match_spark.plans.pipeline import (
+    extract_name_mentions,
+    match_documents,
+    reconstruct_spans,
+)
+from gduns_name_match_spark.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return fx.generate(n_docs=300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(spark, fixture):
+    docs = fx.documents_df(spark, fixture)
+    reg = fx.registry_df(spark, fixture)
+    res = match_documents(spark, docs, reg)
+    res.decisions.persist().count()
+    return res
+
+
+def test_span_invariant(spark, fixture):
+    docs = fx.documents_df(spark, fixture)
+    chk = reconstruct_spans(docs)
+    assert chk.filter(~F.col("spans_equal")).count() == 0
+
+
+def test_mentions_extracted(spark, fixture, result):
+    assert result.mentions.count() == len(fixture.mention_truth)
+
+
+def test_pairwise_f1(spark, fixture, result):
+    truth = fx.truth_df(spark, fixture)
+    pred = result.decisions.select("mention_id", "gdun", "match_status")
+    m = (
+        truth.filter(~F.col("ambiguous"))
+        .join(pred, "mention_id")
+        .select("mention_id", "true_gdun", "gdun")
+        .withColumn("norm", F.lit(None))
+    )
+    # fixed blocking key: only co-blocked mention pairs are labeled/evaluated
+    mentions = extract_name_mentions(fx.documents_df(spark, fixture)).withColumn(
+        "m_norm",
+        __import__(
+            "gduns_name_match_spark.functions.normalize", fromlist=["normalize_name_col"]
+        ).normalize_name_col(F.col("raw_name")),
+    )
+    keyed = with_block_keys(mentions.select("mention_id", "m_norm"), "m_norm")
+    a = keyed.select(F.col("mention_id").alias("ma"), F.col("block_key"))
+    b = keyed.select(F.col("mention_id").alias("mb"), F.col("block_key"))
+    co_blocked = (
+        a.join(b, "block_key").filter(F.col("ma") < F.col("mb")).select("ma", "mb").distinct()
+    )
+    ta = m.select(
+        F.col("mention_id").alias("ma"),
+        F.col("true_gdun").alias("ga"),
+        F.col("gdun").alias("pa"),
+    )
+    tb = m.select(
+        F.col("mention_id").alias("mb"),
+        F.col("true_gdun").alias("gb"),
+        F.col("gdun").alias("pb"),
+    )
+    pairs = co_blocked.join(ta, "ma").join(tb, "mb")
+    stats = pairs.select(
+        F.sum(
+            ((F.col("ga") == F.col("gb")) & (F.col("pa") == F.col("pb")) & (F.col("pa") > 0)).cast("int")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("ga") != F.col("gb")) & (F.col("pa") == F.col("pb")) & (F.col("pa") > 0)).cast("int")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("ga") == F.col("gb"))
+             & ((F.col("pa") != F.col("pb")) | (F.col("pa") <= 0))).cast("int")
+        ).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = stats["tp"] or 0, stats["fp"] or 0, stats["fn"] or 0
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    print(f"pairwise F1 = {f1:.4f}  (tp={tp} fp={fp} fn={fn})")
+    assert f1 >= 0.99, f"F1 {f1:.4f} < 0.99 (tp={tp} fp={fp} fn={fn})"
+
+
+def test_ambiguous_get_multiple_sentinel(spark, fixture, result):
+    truth = fx.truth_df(spark, fixture)
+    amb = truth.filter(F.col("ambiguous")).join(result.decisions, "mention_id")
+    n = amb.count()
+    if n == 0:
+        pytest.skip("no ambiguous mentions sampled")
+    bad = amb.filter(~F.col("match_status").isin("multiple_gduns")).count()
+    assert bad == 0, f"{bad}/{n} ambiguous mentions not routed to multiple_gduns"
+    # sentinel value and capped duns list present
+    row = amb.filter(F.col("match_status") == "multiple_gduns").first()
+    assert row["gdun"] == -67000
+    assert 0 < len(row["list_of_duns"]) <= 100
+
+
+def test_no_silent_key_drops(result):
+    dropped = result.key_stats.filter(F.col("is_dropped")).count()
+    assert dropped == 0  # fixture scale must not trip the cap
