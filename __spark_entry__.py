@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship ER near-dup resolution on /root/testdata/sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 + training
+                ops); each callable takes (spark, sf_dir) → DataFrame.
+oracle_sql()  — DuckDB-runnable ANSI-SQL twins (omitted for the two ER
+                pipeline entries, which are not SQL-expressible; the driver
+                records rows-only checks for those and the F1 gate lives in
+                tests/test_pipeline_f1.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_ROOT = str(Path(__file__).resolve().parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+from gduns_name_match_spark.operators.library import RELATIONAL_QUERIES  # noqa: E402
+from gduns_name_match_spark.operators.training import TRAINING_QUERIES  # noqa: E402
+from gduns_name_match_spark.plans import flagship  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import os
+
+    os.environ.setdefault("PYTHONPATH", _ROOT)
+    return flagship.flagship_neardup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in {**RELATIONAL_QUERIES, **TRAINING_QUERIES}.items():
+        out[name] = fn
+    out["er_neardup_decisions"] = flagship.flagship_neardup
+    out["er_fixture_decisions"] = flagship.er_fixture_decisions
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_fn, sql) in {**RELATIONAL_QUERIES, **TRAINING_QUERIES}.items()
+        if sql is not None
+    }

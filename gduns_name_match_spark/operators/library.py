@@ -1,0 +1,517 @@
+"""Oracle-testable operator library (SURVEY.md §2 ✓ rows).
+
+Each entry is a (spark, sf_dir) → DataFrame callable plus an ANSI-SQL twin
+that DuckDB runs on the same parquet tables. The driver compares row count +
+schema + order-insensitive value hash, sorting columns by name — so every
+computed column is aliased identically on both sides, floats are rounded, and
+dates/timestamps are emitted as formatted strings to keep the hashes stable
+across engines.
+
+Reference citations live on each entry (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# S1/P1/P6 — scan + projection + predicate (reference reads its Oracle tables
+# with SELECT lists and WHERE clauses, automation_final2.py:59-163;
+# Catalyst pushes both into the parquet scan).
+def q_scan_project_filter(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+SQL_SCAN_PROJECT_FILTER = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 2) AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# P2/J4 — IN-list subquery as a left-semi join (reference filters DNB rows to
+# financial lines of business via gl_ult_dun IN (subquery),
+# automation_final2.py:62-139).
+def q_semi_join_inlist(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    return (
+        li.join(pt.select("p_partkey"), li.l_partkey == pt.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # exact integer cents: engine-portable regardless of summation order
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+SQL_SEMI_JOIN_INLIST = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+         AS sum_price_cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+GROUP BY l_returnflag
+"""
+
+
+# P3 — suffix/prefix router (reference splits the input stream on corporate
+# suffixes / 'city of' prefixes, automation_final2.py:346-351). Same routing
+# shape over the documents table.
+def q_suffix_router(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    route = (
+        F.when(low.endswith("table") & ~low.contains("join"), F.lit("stream2"))
+        .when(low.startswith("key"), F.lit("stream2"))
+        .otherwise(F.lit("stream1"))
+    )
+    return d.select("doc_id", route.alias("route"))
+
+
+SQL_SUFFIX_ROUTER = """
+SELECT doc_id,
+       CASE WHEN (lower(text) LIKE '%table' AND lower(text) NOT LIKE '%join%')
+                 THEN 'stream2'
+            WHEN lower(text) LIKE 'key%' THEN 'stream2'
+            ELSE 'stream1' END AS route
+FROM documents
+"""
+
+
+# P5 — null scrub (reference replaces NaN with ' ' / 'null',
+# automation_final2.py:415-423).
+def q_null_scrub(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("unk")).alias(
+                "lang_scrubbed"
+            )
+        )
+        .groupBy("lang_scrubbed")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NULL_SCRUB = """
+SELECT coalesce(nullif(lang, 'en'), 'unk') AS lang_scrubbed, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# P7/J3 — anti-join exclusion (reference drops FDIC certs present in an
+# exclusion workbook, automation_final2.py:148-155).
+def q_anti_join_exclusion(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN_EXCLUSION = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+# A5/W3 — keep-last dedup via descending row_number (reference
+# drop_duplicates(keep='last'), fdic_active.py:241).
+def q_dedup_keep_last(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_LAST = """
+SELECT o_custkey, last_orderkey, last_orderdate FROM (
+  SELECT o_custkey, o_orderkey AS last_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+# U2 — explode a packed list to rows (reference splits LIST_OF_DUNS on commas,
+# duns_table.py:36-53; here: tokens of the documents text).
+def q_explode_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
+# U1 — union/append (reference pd.concat of event frames,
+# fdic_events.py:334-345).
+def q_union_append(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("open").alias("bucket")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", F.lit("big").alias("bucket")
+    )
+    return a.unionByName(b)
+
+
+SQL_UNION_APPEND = """
+SELECT o_orderkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 150000
+"""
+
+
+# U3 — split one column into two (reference splits 'Continuing Location' into
+# city/state, credit_union_mna.py:141-144).
+def q_split_column(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        parts.getItem(0).alias("prio_rank"),
+        parts.getItem(1).alias("prio_name"),
+    )
+
+
+SQL_SPLIT_COLUMN = """
+SELECT o_orderkey,
+       string_split(o_orderpriority, '-')[1] AS prio_rank,
+       string_split(o_orderpriority, '-')[2] AS prio_name
+FROM orders
+"""
+
+
+# W1 — top-1 per group argmin/argmax window (the engine's canonical ranking
+# window; replaces the reference's kneighbors ind[0][0],
+# automation_final2.py:431-433).
+def q_window_top1(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+SQL_WINDOW_TOP1 = """
+SELECT o_custkey, top_orderkey, top_price FROM (
+  SELECT o_custkey, o_orderkey AS top_orderkey,
+         round(o_totalprice, 2) AS top_price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+# W2 — ordered scan / deterministic top-k (reference sorts events by date
+# before chaining, fdic_events.py:351).
+def q_ordered_scan_topk(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_ORDERED_SCAN_TOPK = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price,
+       cast(rn AS bigint) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY l_extendedprice DESC,
+                               l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem) WHERE rn <= 100
+"""
+
+
+# A1 — count-distinct uniqueness gate (reference:
+# len(matc1.GL_ULT_DUN.unique())==1, automation_final2.py:449 et al.).
+def q_count_distinct_gate(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count_distinct("p_type").alias("n_types"),
+        F.when(F.count_distinct("p_type") == 1, "unique")
+        .otherwise("multiple")
+        .alias("gate"),
+    )
+
+
+SQL_COUNT_DISTINCT_GATE = """
+SELECT p_brand, count(DISTINCT p_type) AS n_types,
+       CASE WHEN count(DISTINCT p_type) = 1 THEN 'unique'
+            ELSE 'multiple' END AS gate
+FROM part GROUP BY p_brand
+"""
+
+
+# A2 — capped sorted distinct list, comma-joined (reference LIST_OF_DUNS cap
+# ~100, automation_final2.py:457-466).
+def q_capped_distinct_list(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("o_orderkey")), 1, 100)
+        ).alias("order_list"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_CAPPED_DISTINCT_LIST = """
+SELECT o_custkey,
+       array_to_string(list_slice(list_sort(list(DISTINCT o_orderkey)), 1, 100), ',')
+         AS order_list,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# A3/S7 — max-aggregate watermark (reference select max(effdate),
+# fdic_events.py:32-34).
+def q_max_watermark(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("watermark"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_MAX_WATERMARK = """
+SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS watermark,
+       count(*) AS n_events
+FROM events
+"""
+
+
+# A4 — group-collapse with string-agg + sum (reference collapses multi-parent
+# groups into one row, spnv_match_file2.py:55-123).
+def q_group_collapse(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        F.count("*").alias("n"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+SQL_GROUP_COLLAPSE = """
+SELECT user_id,
+       cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_value_cents,
+       count(*) AS n,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events GROUP BY user_id
+"""
+
+
+# D1 — date parse/format/bucket arithmetic (reference strftime month buckets,
+# fdic_events.py:50-66).
+def q_date_buckets(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "MMM-yyyy").alias("bucket"),
+            F.date_format(F.date_add("o_orderdate", 1), "yyyy-MM-dd").alias("next_day"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("next_day").alias("min_next_day"))
+    )
+
+
+SQL_DATE_BUCKETS = """
+SELECT strftime(o_orderdate, '%b-%Y') AS bucket, count(*) AS n,
+       min(strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d')) AS min_next_day
+FROM orders GROUP BY 1
+"""
+
+
+# D3 — comparison flag column (reference MATCH_IND='Y'/'N',
+# automation_final2.py:472-479).
+def q_match_flag(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderstatus",
+            F.when(F.col("o_totalprice") > 100000, "Y").otherwise("N").alias("match_ind"),
+        )
+        .groupBy("o_orderstatus", "match_ind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_MATCH_FLAG = """
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice > 100000 THEN 'Y' ELSE 'N' END AS match_ind,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# J2 — exact-ID equi-join enrichment (reference joins merger rows to
+# registries by NCUA id / CERT, credit_union_mna.py:352-362).
+def q_join_enrich(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # avg from exact cents → identical double on both engines
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                / (F.count("*") * 100.0),
+                4,
+            ).alias("avg_balance"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT n_name, count(*) AS n_customers,
+       round(sum(cast(round(c_acctbal * 100) AS bigint)) / (count(*) * 100.0), 4)
+         AS avg_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# J1 — broadcast hash equi-join "group fetch" (reference fetches all registry
+# rows sharing the matched name, automation_final2.py:437 et al.; small dim →
+# broadcast).
+def q_broadcast_join_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            # price has 2dp, discount 2dp → exact integer 'ten-thousandths'
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("revenue_e4"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT p_brand, count(*) AS n_items,
+       cast(sum(cast(round(l_extendedprice * 100) AS bigint)
+                * (100 - cast(round(l_discount * 100) AS bigint))) AS bigint)
+         AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# J5 (single round) — pointer chase via iterated equi-joins (reference chains
+# child→parent merger pointers, fdic_events.py:379-392; full fixpoint lives in
+# operators/cluster.py, this entry oracles one two-hop round).
+def q_pointer_chase(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+SQL_POINTER_CHASE = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+RELATIONAL_QUERIES = {
+    "scan_project_filter": (q_scan_project_filter, SQL_SCAN_PROJECT_FILTER),
+    "semi_join_inlist": (q_semi_join_inlist, SQL_SEMI_JOIN_INLIST),
+    "suffix_router": (q_suffix_router, SQL_SUFFIX_ROUTER),
+    "null_scrub": (q_null_scrub, SQL_NULL_SCRUB),
+    "anti_join_exclusion": (q_anti_join_exclusion, SQL_ANTI_JOIN_EXCLUSION),
+    "dedup_keep_last": (q_dedup_keep_last, SQL_DEDUP_KEEP_LAST),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "union_append": (q_union_append, SQL_UNION_APPEND),
+    "split_column": (q_split_column, SQL_SPLIT_COLUMN),
+    "window_top1": (q_window_top1, SQL_WINDOW_TOP1),
+    "ordered_scan_topk": (q_ordered_scan_topk, SQL_ORDERED_SCAN_TOPK),
+    "count_distinct_gate": (q_count_distinct_gate, SQL_COUNT_DISTINCT_GATE),
+    "capped_distinct_list": (q_capped_distinct_list, SQL_CAPPED_DISTINCT_LIST),
+    "max_watermark": (q_max_watermark, SQL_MAX_WATERMARK),
+    "group_collapse": (q_group_collapse, SQL_GROUP_COLLAPSE),
+    "date_buckets": (q_date_buckets, SQL_DATE_BUCKETS),
+    "match_flag": (q_match_flag, SQL_MATCH_FLAG),
+    "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
+    "broadcast_join_agg": (q_broadcast_join_agg, SQL_BROADCAST_JOIN_AGG),
+    "pointer_chase": (q_pointer_chase, SQL_POINTER_CHASE),
+}

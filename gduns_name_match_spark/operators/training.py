@@ -1,0 +1,493 @@
+"""Training-data pipeline operators: deduplication, similarity search, text
+analysis — first-class components for the 100 TB corpus use case.
+
+All deterministic and oracle-testable: hash-dependent steps use md5 (identical
+bytes→hex in Spark and DuckDB), so even MinHash/SimHash signatures compare
+exactly across engines. Embedding math is done in float64 on both sides and
+rounded before hashing.
+
+Scale notes per operator are inline; the common theme: shingle/band keys are
+the blocking keys of the dedup world — the same salted equi-join shape as the
+ER pipeline, no pairwise O(n²) anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.operators.library import t
+
+# --------------------------------------------------------------- exact dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: one row per distinct text with the
+    canonical (min) doc_id and the duplicate count. At 100 TB this is one
+    map-side hash + one shuffle on the digest."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_doc,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ shingle helper
+
+_SHINGLES_SPARK = (
+    lambda col: F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(col, " "),
+                lambda w, i: F.when(
+                    i < F.size(F.split(col, " ")) - 2,
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.split(col, " "), i + 1),
+                        F.element_at(F.split(col, " "), i + 2),
+                        F.element_at(F.split(col, " "), i + 3),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+)
+
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(toks, i, i + 2), ' ')
+           for i in range(1, len(toks) - 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-shingles per document."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(_SHINGLES_SPARK(F.col("text"))).alias("shingle")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard dedup
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by word-3-shingle Jaccard >= 0.5.
+
+    Candidate pairs come from the shared-shingle equi-join (never all-pairs);
+    at scale the shingle key is salted exactly like an ER block key."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.5
+"""
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+N_BANDS = 4
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: per band b, the doc signature is
+    min(md5(shingle || ':' || b)); docs colliding on any band key are
+    candidates, then verified with true Jaccard >= 0.5.
+
+    md5-based minhash keeps the signature engine-portable AND deterministic —
+    the same property that makes it resumable at 100 TB (re-running a band
+    never changes its buckets)."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "shingle",
+    )
+    sig = bands.groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat_ws(":", "shingle", "band"))).alias("band_key")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = q_ngram_jaccard_pairs(spark, sf_dir)
+    return cand.join(jac, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, band, min(md5(shingle || ':' || band)) AS band_key
+  FROM shingles, (SELECT unnest(range({N_BANDS})) AS band)
+  GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.5
+"""
+
+
+# ------------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document from token md5s: bit i is the sign of the
+    sum over tokens of (+1 if hex digit i of md5(token) >= '8' else -1).
+    Pure aggregation — no UDF, one shuffle on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("h", F.md5("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    bits = F.concat(
+        *[F.when(F.col(f"b{i}") >= 0, "1").otherwise("0") for i in range(SIMHASH_BITS)]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    cases = ", ".join(
+        f"sum(CASE WHEN substring(md5(tok), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sums AS (
+  SELECT doc_id, {cases} FROM toks WHERE tok <> '' GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM sums
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# -------------------------------------------------------- document fingerprint
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint: md5 over the sorted distinct token set
+    (robust to token order — catches shuffled near-copies)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(" ", F.sort_array(F.collect_set("tok")))).alias("fingerprint"),
+        F.count_distinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(DISTINCT tok)), ' ')) AS fingerprint,
+       count(DISTINCT tok) AS n_distinct_tokens
+FROM toks WHERE tok <> '' GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------- embedding cosine top-k
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for probe vectors (vec_id < 20).
+
+    Baseline ANN path: probes broadcast against the corpus, dot products via
+    JVM higher-order functions in float64 (no Python). The scale path is
+    q_embedding_lsh_topk; this one is the exact reference answer."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    e = e.withColumn("norm", norm(F.col("emb")))
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    joined = probes.join(F.broadcast(e), F.col("vec_id") != F.col("probe_id"))
+    dot = F.aggregate(
+        F.zip_with("p_emb", "emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = joined.withColumn("cos", dot / (F.col("p_norm") * F.col("norm")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.emb, c.emb) AS cos
+  FROM e p, e c
+  WHERE p.vec_id < 20 AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM pairs)
+SELECT probe_id, neighbor_id, round(cos, 4) AS cosine, cast(rn AS bigint) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ------------------------------------------------- LSH-bucketed ANN variant
+
+
+_LSH_DIMS = (0, 8, 16, 24)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: sign-pattern bucket on fixed dims, neighbors searched
+    only within the probe's bucket (the bucket key is an equi-join key —
+    exactly the blocking-key pattern, so it shards at any corpus size)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("emb", d + 1) >= 0, "1").otherwise("0")
+            for d in _LSH_DIMS
+        ]
+    )
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("bucket", bucket).withColumn("norm", norm)
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"),
+        F.col("norm").alias("p_norm"), "bucket",
+    )
+    joined = probes.join(e, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+    dot = F.aggregate(
+        F.zip_with("p_emb", "emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = joined.withColumn("cos", dot / (F.col("p_norm") * F.col("norm")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _lsh_bucket_sql() -> str:
+    parts = " || ".join(
+        f"(CASE WHEN emb[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS
+    )
+    return parts
+
+
+SQL_EMBEDDING_LSH_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,
+         {_lsh_bucket_sql()} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.emb, c.emb) AS cos
+  FROM e p JOIN e c USING (bucket)
+  WHERE p.vec_id < 20 AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM pairs)
+SELECT probe_id, neighbor_id, round(cos, 4) AS cosine, cast(rn AS bigint) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length, token count, stopword ratio, mean token len —
+    the standard pre-training corpus filters, all JVM expressions."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+            / F.size(toks).cast("double"),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN
+             {tuple(_STOPWORDS)})) / len(toks), 4) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> length(x)))
+             / cast(len(toks) AS double), 4) AS mean_token_len
+FROM base
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """N-gram language-ID heuristic: English-function-word density vote,
+    compared against the table's lang label (accuracy on synthetic word-salad
+    text is incidental — the operator shape is what ships)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    density = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(
+        toks
+    )
+    pred = F.when(density >= 0.05, "en").otherwise("other")
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_LANGID_HEURISTIC = f"""
+WITH base AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT lang,
+       CASE WHEN len(list_filter(toks, x -> x IN {tuple(_STOPWORDS)}))
+                 / cast(len(toks) AS double) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       count(*) AS n
+FROM base GROUP BY 1, 2
+"""
+
+
+def q_token_count_bpeish(spark, sf_dir):
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (ceil(chars/4) per token, the common len/4 heuristic)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    subwords = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        subwords.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPEISH = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS ws_tokens,
+       cast(list_sum(list_transform(toks, x -> cast(ceil(length(x) / 4.0) AS int)))
+            AS bigint) AS bpe_tokens
+FROM base
+"""
+
+
+TRAINING_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "token_count_bpeish": (q_token_count_bpeish, SQL_TOKEN_COUNT_BPEISH),
+}

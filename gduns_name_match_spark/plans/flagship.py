@@ -1,0 +1,74 @@
+"""Flagship queries for the driver contract (__spark_entry__.py).
+
+`flagship_neardup` runs the full ER pipeline — spans extraction, blocking,
+Arrow-batched scoring, resolution — over the driver's documents table wrapped
+into the BASELINE.json input_hint shape (doc_id, spans:array<struct<kind,
+text,media_ref,offset>>), resolving every document to its near-duplicate
+cluster representative. `er_fixture_decisions` runs the GDUN match on the
+deterministic synthetic corpus (rows-only correctness entry; the F1 gate for
+it lives in tests/test_pipeline_f1.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.plans.pipeline import match_documents
+from gduns_name_match_spark.sources import fixtures as fx
+
+DECISION_COLS = [
+    "mention_id",
+    "doc_id",
+    "raw_name",
+    "best_name",
+    "best_dist",
+    "gdun",
+    "match_status",
+]
+
+
+def as_span_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a flat (doc_id, text) table into the input_hint spans shape."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("name").alias("kind"),
+                F.col(text_col).cast("string").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document resolution as entity resolution: the registry
+    is the distinct-text set (deterministic ids via xxhash64), each document
+    is a one-span probe; exact and near duplicates resolve to the same id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans_docs = as_span_documents(docs)
+    registry = (
+        docs.select(F.col("text").cast("string").alias("company"))
+        .distinct()
+        .select(
+            F.xxhash64("company").alias("duns_num"),
+            "company",
+            F.lit("").alias("city"),
+            F.lit("").alias("st"),
+            F.xxhash64("company").alias("gl_ult_dun"),
+        )
+    )
+    res = match_documents(spark, spans_docs, registry, n_salt=4)
+    return res.decisions.select(*DECISION_COLS)
+
+
+def er_fixture_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """GDUN assignment over the deterministic synthetic corpus (sf_dir unused:
+    the fixture is generated, per FIXTURES.md 'no external data')."""
+    f = fx.generate(n_docs=120, seed=42)
+    res = match_documents(
+        spark, fx.documents_df(spark, f), fx.registry_df(spark, f), n_salt=4
+    )
+    return res.decisions.select(*DECISION_COLS)
