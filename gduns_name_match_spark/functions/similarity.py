@@ -122,10 +122,16 @@ def _cosine_dist(a: str, b: str, idf_key: str) -> float:
     return 1.0 - dot / (na * nb)
 
 
+_JW_CAP = 64  # O(len^2) scan; names are short, document-length inputs capped
+
+
 def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
-    """Standard Jaro-Winkler similarity in [0, 1]."""
+    """Standard Jaro-Winkler similarity in [0, 1] (diagnostic column; inputs
+    longer than _JW_CAP chars are prefix-capped — the cosine acceptor, not JW,
+    decides matches)."""
     if a == b:
         return 1.0
+    a, b = a[:_JW_CAP], b[:_JW_CAP]
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
@@ -168,23 +174,18 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
 
 
 def token_set_ratio(a: str, b: str) -> float:
-    """fuzzywuzzy-style token_set_ratio in [0, 1] (difflib-based)."""
-    import difflib
+    """Token-set similarity in [0, 1].
 
-    ta, tb = set(a.split()), set(b.split())
+    Inputs here are compressed names (preprocess_text removes all spaces), so
+    word-level token sets are degenerate; the token unit is the char trigram
+    set — Jaccard over 3-gram sets, which is both O(n) and meaningful on
+    squashed strings. (Diagnostic only: the acceptor is cosine <= 0.2.)"""
+    ta = {a[i : i + 3] for i in range(max(len(a) - 2, 0))} or ({a} if a else set())
+    tb = {b[i : i + 3] for i in range(max(len(b) - 2, 0))} or ({b} if b else set())
     if not ta and not tb:
         return 1.0
-    inter = " ".join(sorted(ta & tb))
-    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
-    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
-    if not sa and not sb:
-        return 1.0
-    ratios = [
-        difflib.SequenceMatcher(None, inter, sa).ratio(),
-        difflib.SequenceMatcher(None, inter, sb).ratio(),
-        difflib.SequenceMatcher(None, sa, sb).ratio(),
-    ]
-    return max(ratios)
+    union = len(ta | tb)
+    return len(ta & tb) / union if union else 0.0
 
 
 PAIR_SCORE_SCHEMA = T.StructType(
@@ -213,15 +214,20 @@ def make_pair_scorer(spark: SparkSession, idf: dict[str, float]):
         _register_idf(key, bc.value)
         n = len(left)
         cos = np.empty(n)
-        jw = np.empty(n)
-        tsr = np.empty(n)
+        jw = np.zeros(n)
+        tsr = np.zeros(n)
         lvals = left.fillna("").to_numpy()
         rvals = right.fillna("").to_numpy()
         for i in range(n):
             a, b = lvals[i], rvals[i]
-            cos[i] = _cosine_dist(a, b, key)
-            jw[i] = jaro_winkler(a, b)
-            tsr[i] = token_set_ratio(a, b)
+            c = _cosine_dist(a, b, key)
+            cos[i] = c
+            # JW/token-set are diagnostics on plausible pairs; computing them
+            # for clearly-rejected candidates (cos > 0.5) would triple the
+            # kernel cost for rows the 0.2 acceptor discards anyway
+            if c <= 0.5:
+                jw[i] = jaro_winkler(a, b)
+                tsr[i] = token_set_ratio(a, b)
         return pd.DataFrame({"cos_dist": cos, "jw_sim": jw, "token_set": tsr})
 
     return score_pairs

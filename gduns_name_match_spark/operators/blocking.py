@@ -22,20 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gduns_name_match_spark.functions.phonetic import (
-    consonant_skeleton_col,
-    metaphone_lite_col,
-)
+from gduns_name_match_spark.functions.phonetic import metaphone_lite_col
 
 
 def block_keys_col(norm_name_col, prefix_len: int = 4):
     """array<string> of blocking keys for one normalized name (no Python)."""
     name = F.coalesce(norm_name_col, F.lit(""))
+    # three complementary keys; a consonant-skeleton 4th was measured ~98%
+    # redundant with metaphone-lite and only inflated the pair join volume
     keys = F.array(
         F.concat(F.lit("p:"), F.substring(name, 1, prefix_len)),
         F.concat(F.lit("s:"), F.soundex(name)),
         F.concat(F.lit("m:"), metaphone_lite_col(name)),
-        F.concat(F.lit("k:"), consonant_skeleton_col(name)),
     )
     # a too-short name yields degenerate keys; require the name itself be
     # non-trivial, then dedupe ('p:' prefix may equal 'k:' skeleton etc.)

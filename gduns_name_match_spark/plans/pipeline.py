@@ -22,7 +22,6 @@ from gduns_name_match_spark.functions.normalize import (
 )
 from gduns_name_match_spark.functions.similarity import (
     build_idf,
-    make_cosine_udf,
     make_pair_scorer,
 )
 from gduns_name_match_spark.operators.blocking import candidate_pairs, with_block_keys
@@ -118,11 +117,13 @@ def match_documents(
 
     idf = build_idf(reg, "norm_name")
     scorer = make_pair_scorer(spark, idf)
-    city_cos = make_cosine_udf(spark, idf)
 
-    m_keyed = with_block_keys(
-        mentions.select("mention_id", "m_norm"), "m_norm", prefix_len=prefix_len
-    )
+    # Score DISTINCT normalized-name pairs, never mention pairs: N mentions of
+    # the same string cost one vectorization + one score. The per-mention
+    # decision is a cheap equi-join at the end. (At 10^12 docs the distinct
+    # name universe is orders of magnitude smaller than the mention stream.)
+    probes = mentions.select("m_norm").distinct()
+    m_keyed = with_block_keys(probes, "m_norm", prefix_len=prefix_len)
     r_keyed = with_block_keys(
         reg.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
         "r_norm",
@@ -131,34 +132,46 @@ def match_documents(
     pairs, key_stats = candidate_pairs(
         m_keyed,
         r_keyed,
-        probe_id="mention_id",
+        probe_id="m_norm",
         registry_id="r_norm",
         hot_key_threshold=hot_key_threshold,
         n_salt=n_salt,
     )
 
-    scored = pairs.withColumn("s", scorer(F.col("m_norm"), F.col("r_norm"))).select(
-        "mention_id",
-        "m_norm",
-        "r_norm",
-        F.col("s.cos_dist").alias("cos_dist"),
-        F.col("s.jw_sim").alias("jw_sim"),
-        F.col("s.token_set").alias("token_set"),
+    # JVM-side prefilter: cosine distance <= 0.2 needs heavy n-gram overlap,
+    # impossible when lengths diverge wildly. Loose 0.4 ratio — provably
+    # recall-safe for the acceptor (property-tested) — cuts the Python-kernel
+    # volume before a single Arrow batch is built.
+    len_ok = (
+        F.least(F.length("m_norm"), F.length("r_norm"))
+        >= 0.4 * F.greatest(F.length("m_norm"), F.length("r_norm"))
+    )
+    scored = (
+        pairs.filter(len_ok)
+        .withColumn("s", scorer(F.col("m_norm"), F.col("r_norm")))
+        .select(
+            "m_norm",
+            "r_norm",
+            F.col("s.cos_dist").alias("cos_dist"),
+            F.col("s.jw_sim").alias("jw_sim"),
+            F.col("s.token_set").alias("token_set"),
+        )
+        .persist()  # reused by pairs_scored diagnostics AND the decision path
     )
 
-    best = best_match_per_probe(scored, threshold=threshold).select(
-        "mention_id",
+    best = best_match_per_probe(
+        scored, probe_id="m_norm", threshold=threshold
+    ).select(
+        "m_norm",
         F.col("r_norm").alias("best_name"),
         F.col("cos_dist").alias("best_dist"),
     )
-    decided = resolve_gdun(
-        best, reg, city_cosine_udf=None, probe_city=None, probe_state=None
+    decided_norm = resolve_gdun(
+        best, reg, city_cosine_udf=None, probe_id="m_norm",
+        probe_city=None, probe_state=None,
     )
-    decisions = with_manual_fallback(mentions, decided).join(
-        mentions.select("mention_id", "doc_id", "span_pos", "raw_name", "m_norm"),
-        "mention_id",
-    )
-    _ = city_cos  # city tie-break wiring arrives with geo-bearing inputs
+    decided_norm = with_manual_fallback(probes, decided_norm, probe_id="m_norm")
+    decisions = mentions.join(decided_norm, "m_norm")
     return MatchResult(
         mentions=mentions, pairs_scored=scored, decisions=decisions, key_stats=key_stats
     )

@@ -91,8 +91,13 @@ def _media_ref(rng: random.Random) -> str:
     return "m://" + hashlib.md5(str(rng.random()).encode()).hexdigest()[:12]
 
 
-def _make_groups(rng: random.Random) -> list[EntityGroup]:
-    """~200 entity groups with globally unique canonical stems."""
+def _make_groups(rng: random.Random, n_groups: int | None = None) -> list[EntityGroup]:
+    """Entity groups with globally unique canonical stems.
+
+    The base universe is ~200 well-separated stems (used by the F1 gate);
+    when ``n_groups`` asks for more (bench corpora), city-qualified bank
+    variants extend it combinatorially — those stems share long prefixes, so
+    the bench workload is *harder* (denser blocks) than the gate corpus."""
     groups: list[EntityGroup] = []
     gdun = 10_000
     for adj in _ADJ:
@@ -107,12 +112,26 @@ def _make_groups(rng: random.Random) -> list[EntityGroup]:
         for b in _CORP_B:
             groups.append(EntityGroup(gdun, "corp", f"{a} {b}"))
             gdun += 1
+    if n_groups is not None and n_groups > len(groups):
+        extra = []
+        for adj in _ADJ:
+            for kind in _BANK_KIND:
+                for city, _st in _CITIES:
+                    extra.append((adj, kind, city))
+        rng.shuffle(extra)
+        for adj, kind, city in extra[: n_groups - len(groups)]:
+            groups.append(EntityGroup(gdun, "bank", f"{adj} {kind} of {city.lower()}"))
+            gdun += 1
     rng.shuffle(groups)
     return groups
 
 
-def _perturb(name: str, kind: str, rng: random.Random) -> str:
-    """Noise the normalization kernel provably undoes (see module docstring)."""
+def _perturb(name: str, kind: str, rng: random.Random, typos: bool = False) -> str:
+    """Noise the normalization kernel provably undoes (see module docstring).
+
+    ``typos=True`` additionally injects transposition typos — noise the
+    reference does NOT always undo (cosine may exceed 0.2), so it is only for
+    unlabeled bench corpora, never the F1-gate corpus."""
     s = name
     r = rng.random()
     if r < 0.25:
@@ -131,6 +150,12 @@ def _perturb(name: str, kind: str, rng: random.Random) -> str:
         s = s.replace(" ", "  ", 1)  # doubled space
     if rng.random() < 0.15 and " and " in s:
         s = s.replace(" and ", " & ", 1)
+    # a single transposition typo on long names: survives normalization, so
+    # it exercises the fuzzy (cosine) acceptor rather than exact key equality
+    if typos and rng.random() < 0.15 and len(name) >= 18:
+        i = rng.randint(5, len(s) - 3)
+        if s[i] != " " and s[i + 1] != " ":
+            s = s[:i] + s[i + 1] + s[i] + s[i + 2 :]
     return s
 
 
@@ -138,6 +163,8 @@ def generate(
     n_docs: int = 300,
     seed: int = 42,
     ambiguous_frac: float = 0.03,
+    n_groups: int | None = None,
+    typos: bool = False,
 ) -> Fixture:
     """Build the full deterministic fixture set.
 
@@ -147,7 +174,7 @@ def generate(
     from F1 labels and asserted on separately.
     """
     rng = random.Random(seed)
-    groups = _make_groups(rng)
+    groups = _make_groups(rng, n_groups)
 
     # ambiguous twins: same canonical, new gdun
     n_amb = max(1, int(len(groups) * ambiguous_frac))
@@ -195,7 +222,7 @@ def generate(
                     spans.append(("text", prose, "", offset))
                 offset += rng.randint(1, 5)
             g = rng.choice(groups)
-            mention = _perturb(g.canonical, g.kind, rng)
+            mention = _perturb(g.canonical, g.kind, rng, typos=typos)
             span_pos = len(spans)
             spans.append(("name", mention, "", offset))
             offset += rng.randint(1, 5)
