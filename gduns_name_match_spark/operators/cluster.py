@@ -1,0 +1,154 @@
+"""Transitive clustering: connected components + functional pointer chase.
+
+Replaces the reference's O(n²) in-memory parent-chaining double loop
+(fdic_events.py:379-392, credit_union_mna.py:369-379) with two scalable
+primitives:
+
+* ``connected_components`` — alternating large-star/small-star iterated
+  equi-joins (Kiveris et al., "Connected Components in MapReduce and
+  Beyond"), O(log n) rounds on pathological chains, each round two
+  shuffle joins. Used for mention↔mention near-dup clusters.
+* ``chase_to_root`` — pointer doubling over a functional parent graph
+  (each child has one effective parent, latest event wins), O(log chain)
+  rounds. This is the faithful semantics of the reference's chain rewrite:
+  every event row ends up pointing at its ultimate parent.
+
+Every iteration localCheckpoints to truncate lineage — an iterative join
+without it re-executes the whole prefix DAG each round and dies at depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # modded before summing: ANSI mode makes a raw sum of 64-bit hashes
+        # overflow; n * 2^31 stays far inside long range
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2_147_483_647))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the minimum
+    of N(u) ∪ {u}."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect every smaller-or-equal neighbor
+    (and u itself) to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    with_min = oriented.join(mins, "src")
+    out = with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        mins.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) where component = min node id of the component.
+
+    ``edges`` is an undirected edge list; isolated nodes are the caller's
+    concern (left-join and coalesce(component, node)).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge points node → its component minimum
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def attach_components(
+    nodes: DataFrame, components: DataFrame, node_col: str
+) -> DataFrame:
+    """Join cluster ids back onto a node table; singletons become their own
+    component."""
+    c = components.withColumnRenamed("node", node_col)
+    return nodes.join(c, node_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(node_col))
+    )
+
+
+def chase_to_root(
+    parents: DataFrame,
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve each child to its ultimate ancestor by pointer doubling.
+
+    ``parents`` must be functional (one parent per child — pre-aggregate with
+    max_by(parent, effdate) to enforce the reference's 'latest event wins'
+    ordering, fdic_events.py:351,381). Cycles are broken by stopping at
+    max_iter with the then-current pointer (the reference's loop would not
+    terminate differently on a cycle; real merger data is acyclic).
+
+    Returns (child_id, root_id, depth) — depth = number of hops compressed.
+    """
+    p = (
+        parents.select(F.col(child_col).alias("child"), F.col(parent_col).alias("ptr"))
+        .filter(F.col("child") != F.col("ptr"))  # drop degenerate self-loops
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # doubling step: follow the CURRENT estimate through itself, so the
+        # resolved chain length doubles every round (log₂ rounds total)
+        hop = p.select(F.col("child").alias("ptr"), F.col("ptr").alias("nxt"),
+                       F.col("depth").alias("d2"))
+        stepped = (
+            p.join(hop, "ptr", "left")
+            .withColumn("moved", F.col("nxt").isNotNull())
+            .select(
+                "child",
+                F.coalesce("nxt", "ptr").alias("ptr"),
+                (F.col("depth") + F.coalesce("d2", F.lit(0))).alias("depth"),
+                "moved",
+            )
+            .localCheckpoint()
+        )
+        moved_any = stepped.filter(F.col("moved")).isEmpty() is False
+        p = stepped.drop("moved")
+        if not moved_any:
+            break
+    return p.select(
+        F.col("child").alias(child_col),
+        F.col("ptr").alias("root_id"),
+        "depth",
+    )

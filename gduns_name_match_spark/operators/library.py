@@ -515,3 +515,45 @@ RELATIONAL_QUERIES = {
     "broadcast_join_agg": (q_broadcast_join_agg, SQL_BROADCAST_JOIN_AGG),
     "pointer_chase": (q_pointer_chase, SQL_POINTER_CHASE),
 }
+
+
+# J5 (full fixpoint) — transitive pointer chase to the ultimate root
+# (reference chains merger parents until no later event overrides,
+# fdic_events.py:379-392). Spark: pointer-doubling iterated joins
+# (operators/cluster.py); oracle: recursive CTE. Deterministic chain graph
+# derived from events: parent(e) = e - (e % 7 + 1).
+def q_transitive_root_chase(spark, sf_dir):
+    from gduns_name_match_spark.operators.cluster import chase_to_root
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parents = e.select(
+        F.col("event_id").alias("child_id"),
+        (F.col("event_id") - (F.col("event_id") % 7 + 1)).alias("parent_id"),
+    ).filter(F.col("parent_id") >= 0)
+    out = chase_to_root(parents, "child_id", "parent_id")
+    return out.select(
+        "child_id",
+        F.col("root_id").cast("bigint").alias("root_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+SQL_TRANSITIVE_ROOT_CHASE = """
+WITH RECURSIVE parents AS (
+  SELECT event_id AS child, event_id - (event_id % 7 + 1) AS parent
+  FROM events WHERE event_id < 500 AND event_id - (event_id % 7 + 1) >= 0),
+walk AS (
+  SELECT child, parent AS cur, 1 AS depth FROM parents
+  UNION ALL
+  SELECT w.child, p.parent, w.depth + 1
+  FROM walk w JOIN parents p ON w.cur = p.child)
+SELECT child AS child_id, cast(cur AS bigint) AS root_id,
+       cast(depth AS bigint) AS depth
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY child ORDER BY depth DESC) = 1
+"""
+
+RELATIONAL_QUERIES["transitive_root_chase"] = (
+    q_transitive_root_chase,
+    SQL_TRANSITIVE_ROOT_CHASE,
+)

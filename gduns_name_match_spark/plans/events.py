@@ -1,0 +1,124 @@
+"""Registry refresh + event-chain resolution (reference entry point 2/3).
+
+Re-expresses:
+
+* fdic_events transitive parent chaining (fdic_events.py:379-392): the
+  reference double-loops rows sorted by date, rewriting each event's parent
+  fields to the latest downstream parent and accumulating SOURCE as
+  'MNA+TC+...'. Here: max_by(parent, effdate) makes the graph functional
+  ('later events override', fdic_events.py:381 i<j guard), then
+  chase_to_root pointer-doubles to the ultimate parent; the source trail is
+  rebuilt by joining hop sources along the chain.
+* incremental watermark read (fdic_events.py:32-34, credit_union_mna.py:54-57):
+  max(effdate) checkpoint + strictly-newer filter.
+* ongoing M&A dual resolution (ongoing_mna.py:611-648): new events carry an
+  old name AND a new/parent name; both unpivot into one mention stream, run
+  through the same match pipeline, and re-pivot into transition rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.operators.cluster import chase_to_root
+
+
+def effective_parents(events: DataFrame) -> DataFrame:
+    """One effective parent per child: the latest event wins
+    (fdic_events.py:351 sort + :381 later-overrides-earlier)."""
+    return events.groupBy("fdic_id").agg(
+        F.max_by("parent_fdic_id", F.struct("effdate", "parent_fdic_id")).alias(
+            "parent_fdic_id"
+        ),
+        F.max("effdate").alias("effdate"),
+    )
+
+
+def resolve_event_chains(events: DataFrame) -> DataFrame:
+    """Each event row → its ultimate parent + accumulated source trail.
+
+    Output: (fdic_id, parent_fdic_id, root_id, depth, source_trail) where
+    source_trail concatenates the SOURCE codes along the followed chain in
+    hop order — mirroring the reference's 'a+b' accumulation
+    (fdic_events.py:388).
+    """
+    parents = effective_parents(events)
+    roots = chase_to_root(parents, "fdic_id", "parent_fdic_id")
+    resolved = events.join(roots, "fdic_id", "left").withColumn(
+        "root_id", F.coalesce("root_id", "parent_fdic_id")
+    )
+    # rebuild the source trail: walk each node's chain through the component;
+    # chains are short (depth ≤ log-bounded), so join per hop is bounded by
+    # the max depth actually present
+    max_depth = resolved.agg(F.max("depth")).collect()[0][0] or 1
+    hop_src = events.select(
+        F.col("fdic_id").alias("hop_child"),
+        F.col("parent_fdic_id").alias("hop_parent"),
+        F.col("source").alias("hop_source"),
+    ).dropDuplicates(["hop_child"])
+    trail = resolved.select("fdic_id").withColumn("cur", F.col("fdic_id")).withColumn(
+        "trail", F.array().cast("array<string>")
+    )
+    for _ in range(int(max_depth)):
+        trail = (
+            trail.join(hop_src, trail.cur == hop_src.hop_child, "left")
+            .withColumn(
+                "trail",
+                F.when(
+                    F.col("hop_source").isNotNull(),
+                    F.concat("trail", F.array("hop_source")),
+                ).otherwise(F.col("trail")),
+            )
+            .withColumn("cur", F.coalesce("hop_parent", "cur"))
+            .drop("hop_child", "hop_parent", "hop_source")
+            .localCheckpoint()
+        )
+    trail = trail.select("fdic_id", F.concat_ws("+", "trail").alias("source_trail"))
+    return resolved.join(trail, "fdic_id").select(
+        "fdic_id", "parent_fdic_id", "root_id", "depth", "source_trail"
+    )
+
+
+def watermark_filter(
+    events: DataFrame, last_watermark, effdate_col: str = "effdate"
+) -> DataFrame:
+    """Incremental read: only events strictly newer than the checkpoint
+    (fdic_events.py:57-67)."""
+    return events.filter(F.col(effdate_col) > F.lit(last_watermark))
+
+
+def current_watermark(events: DataFrame, effdate_col: str = "effdate"):
+    return events.agg(F.max(effdate_col)).collect()[0][0]
+
+
+def dual_resolution_mentions(mna_events: DataFrame) -> DataFrame:
+    """Unpivot (old name, new/parent name) into one mention stream tagged by
+    side (ongoing_mna.py:611-648 resolves both via the same DNB cascade)."""
+    old = mna_events.select(
+        F.col("event_id"),
+        F.lit("old").alias("side"),
+        F.col("name").alias("raw_name"),
+    )
+    new = mna_events.select(
+        F.col("event_id"),
+        F.lit("new").alias("side"),
+        F.col("parent_name").alias("raw_name"),
+    )
+    return old.unionByName(new)
+
+
+def repivot_transitions(decisions: DataFrame) -> DataFrame:
+    """Re-pivot matched sides into one transition row per event:
+    (event_id, old_gdun, new_gdun, transition_ind)."""
+    pivoted = (
+        decisions.groupBy("event_id")
+        .pivot("side", ["old", "new"])
+        .agg(F.first("gdun"))
+        .withColumnRenamed("old", "old_gdun")
+        .withColumnRenamed("new", "new_gdun")
+    )
+    return pivoted.withColumn(
+        "transition_ind",
+        F.when(F.col("old_gdun") == F.col("new_gdun"), "same").otherwise("changed"),
+    )

@@ -1,0 +1,132 @@
+"""Connected components + pointer-chase: correctness vs a pure-Python
+union-find oracle, chain fixtures, convergence, permutation invariance."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.operators.cluster import (
+    attach_components,
+    chase_to_root,
+    connected_components,
+)
+from gduns_name_match_spark.plans.events import (
+    effective_parents,
+    resolve_event_chains,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def test_cc_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(1, 401))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    touched = {n for e in edges for n in e}
+    for n in touched:
+        assert got[n] == expected[n], f"node {n}: {got[n]} != {expected[n]}"
+
+
+def test_cc_long_chain(spark):
+    # pathological path graph 0-1-2-...-99: worst case for naive propagation
+    edges = [(i, i + 1) for i in range(99)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = connected_components(df).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 100
+
+
+def test_cc_permutation_invariance(spark):
+    edges = [(5, 9), (9, 2), (14, 3), (3, 2), (40, 41)]
+    a = connected_components(spark.createDataFrame(edges, ["src", "dst"]))
+    b = connected_components(
+        spark.createDataFrame(list(reversed(edges)), ["src", "dst"])
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_attach_components_singletons(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    comp = connected_components(edges)
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    out = attach_components(nodes, comp, "id").collect()
+    m = {r["id"]: r["component"] for r in out}
+    assert m == {1: 1, 2: 1, 99: 99}
+
+
+def test_chase_chain(spark):
+    # A→B→C→D plus unrelated X→Y
+    parents = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("X", "Y")],
+        ["child_id", "parent_id"],
+    )
+    got = {r["child_id"]: r["root_id"] for r in chase_to_root(parents).collect()}
+    assert got == {"A": "D", "B": "D", "C": "D", "X": "Y"}
+
+
+def test_chase_long_chain_log_rounds(spark):
+    n = 200
+    parents = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["child_id", "parent_id"]
+    )
+    got = chase_to_root(parents, max_iter=10)  # 2^10 >> 200: doubling required
+    assert got.filter(F.col("root_id") != n).count() == 0
+
+
+def test_event_chain_resolution(spark):
+    # merger chain 1→2 (2019, MNA) then 2→3 (2021, TC); 1 must root at 3 with
+    # trail MNA+TC — the reference's later-event-overrides semantics
+    events = spark.createDataFrame(
+        [
+            (1, 2, "2019-03-01", "MNA"),
+            (2, 3, "2021-06-15", "TC"),
+            (7, 8, "2020-01-01", "LQ"),
+        ],
+        ["fdic_id", "parent_fdic_id", "effdate", "source"],
+    )
+    out = {r["fdic_id"]: r for r in resolve_event_chains(events).collect()}
+    assert out[1]["root_id"] == 3
+    assert out[1]["source_trail"] == "MNA+TC"
+    assert out[2]["root_id"] == 3
+    assert out[2]["source_trail"] == "TC"
+    assert out[7]["root_id"] == 8
+    assert out[7]["source_trail"] == "LQ"
+
+
+def test_effective_parent_latest_wins(spark):
+    events = spark.createDataFrame(
+        [(1, 2, "2019-01-01", "MNA"), (1, 5, "2022-01-01", "MNA")],
+        ["fdic_id", "parent_fdic_id", "effdate", "source"],
+    )
+    got = effective_parents(events).collect()
+    assert len(got) == 1 and got[0]["parent_fdic_id"] == 5
