@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     out["er_neardup_decisions"] = flagship.flagship_neardup
     out["er_fixture_decisions"] = flagship.er_fixture_decisions
+    out["er_full_cascade"] = flagship.er_full_cascade
     return out
 
 

@@ -1,0 +1,452 @@
+"""The full GDUN decision cascade (reference automation_final2.py §3.1),
+set-at-a-time.
+
+Reference control flow per input row (automation_final2.py:1451-1472,
+driver loops :1476-1481, :1557-1562):
+
+  route by corporate suffix / 'city of' (:346-351)
+    stream2 (corporate)  → DNB direct
+    stream1:
+      state imputation from gazetteer when STATE blank and the CITY is
+        unambiguous (Count==1, :1451-1460)
+      credit-union suffix (:834) → CU cascade:
+        cu_active → (match) → DNB on CU name
+        cu_mna    → (match) → DNB on the merger parent name
+        cu_closed → (match) → -21000 liquidated (:926)
+      else bank cascade:
+        fdic_active → (match; city→state→MAINOFF HQ tie-break :995-996)
+                     → DNB on FDIC name
+        fdic_events (title_change) → SOURCE='LQ' → -21000 (:1160-1170)
+                     else → DNB on the ULTIMATE chained parent name
+        cu fallback → dnb fallback → Manual (-1, :658-675)
+
+Each cascade step is one blocking+scoring match job over the *unresolved*
+probes only — rows fall through branches as anti-joins, not Python loops.
+The DNB terminal decision (unique-GDUN / city tie-break / state tie-break /
+-67000 with capped LIST_OF_DUNS) is operators/resolve.resolve_gdun.
+
+Documented divergence: the reference re-fits a per-group TF-IDF for city
+tie-breaks (V5, :437-441); we rank by cosine under the registry-wide city
+IDF — same argmin on non-degenerate groups, no per-row model fit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gduns_name_match_spark.functions.normalize import (
+    is_corporate_routed_col,
+    is_credit_union_col,
+    normalize_city_col,
+    normalize_name_col,
+)
+from gduns_name_match_spark.functions.similarity import build_idf, make_cosine_udf
+from gduns_name_match_spark.operators.blocking import candidate_pairs, with_block_keys
+from gduns_name_match_spark.operators.cluster import chase_to_root
+from gduns_name_match_spark.operators.resolve import (
+    GDUN_LIQUIDATED,
+    GDUN_MANUAL,
+    THRESHOLD,
+    best_match_per_probe,
+    resolve_gdun,
+)
+
+
+@dataclass
+class Registries:
+    """Normalized registry tables (see sources/fixtures.py for shapes)."""
+
+    dnb: DataFrame          # duns_num, company, city, st, gl_ult_dun, ...
+    fdic_active: DataFrame  # fdic_id, name, city, state, mainoff, ...
+    fdic_events: DataFrame  # fdic_id, name, parent_fdic_id, parent_name, effdate, source
+    cu_active: DataFrame    # ncua_id, name, city, state, ...
+    cu_mna: DataFrame | None = None    # old/new ncua ids, name, parent_name
+    cu_closed: DataFrame | None = None
+    gazetteer: DataFrame | None = None  # city, state, count
+
+
+def _norm_names(df: DataFrame, name_col: str) -> DataFrame:
+    return df.select(
+        normalize_name_col(F.col(name_col)).alias("r_norm")
+    ).dropDuplicates(["r_norm"])
+
+
+def _match_step(
+    spark: SparkSession,
+    probes: DataFrame,          # (m_norm) distinct
+    registry_names: DataFrame,  # (r_norm) distinct
+    idf: dict,
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """(m_norm, best_name, best_dist) for probes whose best cosine <= τ."""
+    cos = make_cosine_udf(spark, idf)
+    m_keyed = with_block_keys(probes, "m_norm")
+    r_keyed = with_block_keys(registry_names, "r_norm")
+    pairs, _ = candidate_pairs(
+        m_keyed, r_keyed, probe_id="m_norm", registry_id="r_norm", n_salt=4
+    )
+    scored = pairs.withColumn("cos_dist", cos(F.col("m_norm"), F.col("r_norm")))
+    return best_match_per_probe(scored, probe_id="m_norm", threshold=threshold).select(
+        "m_norm",
+        F.col("r_norm").alias("best_name"),
+        F.col("cos_dist").alias("best_dist"),
+    )
+
+
+def impute_state(mentions: DataFrame, gazetteer: DataFrame | None) -> DataFrame:
+    """Reference spnv_check (:1451-1460): blank STATE + unambiguous CITY
+    (gazetteer Count==1) → impute the gazetteer state."""
+    if gazetteer is None:
+        return mentions
+    gz = gazetteer.filter(F.col("count") == 1).select(
+        normalize_city_col(F.col("city")).alias("m_city_norm"),
+        F.col("state").alias("gz_state"),
+    )
+    out = mentions.join(F.broadcast(gz), "m_city_norm", "left")
+    return out.withColumn(
+        "m_state",
+        F.coalesce(
+            F.when(
+                F.col("m_state").isNull() | (F.trim(F.col("m_state")) == ""),
+                F.col("gz_state"),
+            ).otherwise(F.col("m_state")),
+            F.lit(""),  # keep the join-key invariant: never NULL
+        ),
+    ).drop("gz_state")
+
+
+def run_cascade(
+    spark: SparkSession,
+    mentions: DataFrame,
+    regs: Registries,
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """mentions: (mention_id, raw_name [, city, state]) →
+    one decision row per mention: (mention_id, route, stage, gdun,
+    match_status, best_name, best_dist, list_of_duns)."""
+    has_geo = "city" in mentions.columns
+    # city/state are join keys through the whole cascade — coalesce to ''
+    # (SQL NULL keys never compare equal, which would silently drop geo-less
+    # mentions from every equi/anti-join)
+    m = mentions.select(
+        "mention_id",
+        "raw_name",
+        normalize_name_col(F.col("raw_name")).alias("m_norm"),
+        (
+            normalize_city_col(F.col("city")) if has_geo else F.lit("")
+        ).alias("m_city_norm"),
+        F.coalesce(
+            F.col("state") if "state" in mentions.columns else F.lit(""), F.lit("")
+        ).alias("m_state"),
+        is_corporate_routed_col(F.col("raw_name")).alias("is_corp"),
+        is_credit_union_col(F.col("raw_name")).alias("is_cu"),
+    )
+    m = impute_state(m, regs.gazetteer).persist()
+
+    # normalized registries
+    dnb = regs.dnb.select(
+        "duns_num",
+        "gl_ult_dun",
+        normalize_name_col(F.col("company")).alias("norm_name"),
+        normalize_city_col(F.col("city")).alias("norm_city"),
+        F.col("st"),
+    ).persist()
+    dnb_idf = build_idf(dnb, "norm_name")
+    dnb_names = dnb.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"])
+
+    fdic = regs.fdic_active.select(
+        "fdic_id",
+        normalize_name_col(F.col("name")).alias("norm_name"),
+        normalize_city_col(F.col("city")).alias("norm_city"),
+        F.col("state"),
+        "mainoff",
+    ).persist()
+    fdic_idf = build_idf(fdic, "norm_name")
+
+    events = regs.fdic_events.select(
+        "fdic_id",
+        normalize_name_col(F.col("name")).alias("norm_name"),
+        normalize_name_col(F.col("parent_name")).alias("parent_norm"),
+        "parent_fdic_id",
+        "effdate",
+        "source",
+    ).persist()
+    events_idf = build_idf(events, "norm_name")
+    # ultimate parent per event name via pointer doubling on NAME space
+    name_parents = events.groupBy("norm_name").agg(
+        F.max_by("parent_norm", F.struct("effdate", "parent_norm")).alias("parent_norm"),
+        F.max_by("source", F.struct("effdate", "parent_norm")).alias("source"),
+    )
+    chained = chase_to_root(
+        name_parents.select("norm_name", "parent_norm"), "norm_name", "parent_norm"
+    ).withColumnRenamed("root_id", "ultimate_parent")
+
+    cu = regs.cu_active.select(
+        "ncua_id", normalize_name_col(F.col("name")).alias("norm_name")
+    ).persist()
+    cu_idf = build_idf(cu, "norm_name")
+
+    cu_mna = (
+        regs.cu_mna.select(
+            normalize_name_col(F.col("name")).alias("norm_name"),
+            normalize_name_col(F.col("parent_name")).alias("parent_norm"),
+        ).persist()
+        if regs.cu_mna is not None
+        else None
+    )
+    cu_closed = (
+        regs.cu_closed.select(
+            normalize_name_col(F.col("name")).alias("norm_name")
+        ).persist()
+        if regs.cu_closed is not None
+        else None
+    )
+
+    city_cos = make_cosine_udf(spark, build_idf(dnb, "norm_city"))
+
+    def dnb_decide(probe_names: DataFrame, stage: str) -> DataFrame:
+        """probe_names: (m_norm, m_city_norm, m_state, target_norm) — match
+        target against DNB and run the terminal GDUN decision."""
+        probe_names = probe_names.select(
+            "m_norm", "m_city_norm", "m_state", "target_norm"
+        ).distinct()
+        targets = probe_names.select(
+            F.col("target_norm").alias("m_norm")
+        ).distinct()
+        best = _match_step(spark, targets, dnb_names, dnb_idf, threshold)
+        hit = probe_names.join(
+            best.withColumnRenamed("m_norm", "target_norm"), "target_norm"
+        )
+        # per (target, city, state) decision — city tie-break needs the geo
+        decided = resolve_gdun(
+            hit.select(
+                F.concat_ws(
+                    "", "m_norm", "m_city_norm", "m_state"
+                ).alias("probe_key"),
+                "best_name",
+                "best_dist",
+                F.col("m_city_norm").alias("m_city"),
+                F.col("m_state").alias("m_state"),
+            ).dropDuplicates(["probe_key"]),
+            dnb,
+            city_cosine_udf=city_cos,
+            probe_id="probe_key",
+            probe_city="m_city",
+            probe_state="m_state",
+        ).drop("best_name", "best_dist", "n_gduns", "min_city_dist")
+        out = (
+            hit.withColumn(
+                "probe_key",
+                F.concat_ws("", "m_norm", "m_city_norm", "m_state"),
+            )
+            .join(decided, "probe_key")
+            .select(
+                "m_norm",
+                "m_city_norm",
+                "m_state",
+                F.lit(stage).alias("stage"),
+                "gdun",
+                "match_status",
+                F.col("best_name"),
+                F.col("best_dist"),
+                "list_of_duns",
+            )
+        )
+        # branch results are small; eager-materialize so downstream anti-joins
+        # and the final union don't re-execute the whole match DAG per branch
+        return out.localCheckpoint()
+
+    def anti(probes: DataFrame, resolved: DataFrame) -> DataFrame:
+        return probes.join(
+            resolved.select("m_norm", "m_city_norm", "m_state").distinct(),
+            ["m_norm", "m_city_norm", "m_state"],
+            "left_anti",
+        )
+
+    results = []
+
+    # ---- corporate stream: DNB direct
+    corp_probes = (
+        m.filter(F.col("is_corp"))
+        .select("m_norm", "m_city_norm", "m_state")
+        .distinct()
+    )
+    corp_res = dnb_decide(
+        corp_probes.withColumn("target_norm", F.col("m_norm")), "dnb_corporate"
+    )
+    results.append(corp_res)
+
+    # ---- stream 1 (cascade)
+    s1 = (
+        m.filter(~F.col("is_corp"))
+        .select("m_norm", "m_city_norm", "m_state", "is_cu")
+        .distinct()
+        .persist()
+    )
+
+    # credit-union branch
+    cu_probes = s1.filter(F.col("is_cu")).drop("is_cu")
+    cu_best = _match_step(
+        spark, cu_probes.select("m_norm").distinct(),
+        cu.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
+        cu_idf, threshold,
+    )
+    cu_hit = cu_probes.join(cu_best, "m_norm")
+    cu_res = dnb_decide(
+        cu_hit.withColumn("target_norm", F.col("best_name")), "cu_active"
+    )
+    results.append(cu_res)
+    cu_left = anti(cu_probes, cu_res)
+
+    if cu_mna is not None and not cu_mna.isEmpty():
+        mna_idf = build_idf(cu_mna, "norm_name")
+        mna_best = _match_step(
+            spark, cu_left.select("m_norm").distinct(),
+            cu_mna.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
+            mna_idf, threshold,
+        )
+        mna_hit = (
+            cu_left.join(mna_best, "m_norm")
+            .join(
+                cu_mna.withColumnRenamed("norm_name", "best_name"), "best_name"
+            )
+        )
+        mna_res = dnb_decide(
+            mna_hit.withColumn("target_norm", F.col("parent_norm")), "cu_mna"
+        )
+        results.append(mna_res)
+        cu_left = anti(cu_left, mna_res)
+
+    if cu_closed is not None and not cu_closed.isEmpty():
+        closed_idf = build_idf(cu_closed, "norm_name")
+        closed_best = _match_step(
+            spark, cu_left.select("m_norm").distinct(),
+            cu_closed.select(F.col("norm_name").alias("r_norm")).dropDuplicates(
+                ["r_norm"]
+            ),
+            closed_idf, threshold,
+        )
+        closed_res = cu_left.join(closed_best, "m_norm").select(
+            "m_norm", "m_city_norm", "m_state",
+            F.lit("cu_closed").alias("stage"),
+            F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
+            F.lit("liquidated").alias("match_status"),
+            "best_name", "best_dist",
+            F.array().cast("array<long>").alias("list_of_duns"),
+        ).localCheckpoint()
+        results.append(closed_res)
+        cu_left = anti(cu_left, closed_res)
+
+    # bank branch: FDIC active with city→state→HQ tie-break
+    bank_probes = s1.filter(~F.col("is_cu")).drop("is_cu")
+    fdic_best = _match_step(
+        spark, bank_probes.select("m_norm").distinct(),
+        fdic.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
+        fdic_idf, threshold,
+    )
+    fdic_hit = bank_probes.join(fdic_best, "m_norm")
+    # Note on the HQ tie-break (:995-996): the reference uses MAINOFF=1 to
+    # pick WHICH branch row's city feeds its diagnostics; the GDUN probe is
+    # the matched FDIC *name* either way, so the terminal decision below is
+    # gdun-equivalent. The mainoff flag itself is carried by the fixture and
+    # asserted in tests via the registry (branch selection has no gdun effect).
+    fdic_res = dnb_decide(
+        fdic_hit.withColumn("target_norm", F.col("best_name")), "fdic_active"
+    )
+    results.append(fdic_res)
+    bank_left = anti(bank_probes, fdic_res)
+
+    # title_change / fdic_events: LQ → -21000, else chase parents to root
+    ev_best = _match_step(
+        spark, bank_left.select("m_norm").distinct(),
+        events.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
+        events_idf, threshold,
+    )
+    ev_hit = (
+        bank_left.join(ev_best, "m_norm")
+        .join(
+            name_parents.select(
+                F.col("norm_name").alias("best_name"), "source"
+            ),
+            "best_name",
+        )
+        .join(
+            chained.select(
+                F.col("norm_name").alias("best_name"), "ultimate_parent"
+            ),
+            "best_name",
+            "left",
+        )
+    )
+    lq = ev_hit.filter(F.col("source") == "LQ").select(
+        "m_norm", "m_city_norm", "m_state",
+        F.lit("title_change_lq").alias("stage"),
+        F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
+        F.lit("liquidated").alias("match_status"),
+        "best_name", "best_dist",
+        F.array().cast("array<long>").alias("list_of_duns"),
+    ).localCheckpoint()
+    results.append(lq)
+    tc = ev_hit.filter(F.col("source") != "LQ")
+    tc_res = dnb_decide(
+        tc.withColumn(
+            "target_norm", F.coalesce("ultimate_parent", "best_name")
+        ),
+        "title_change",
+    )
+    results.append(tc_res)
+    bank_left = anti(bank_left, lq.unionByName(tc_res))
+
+    # remaining stream-1 (both sub-branches): DNB fallback, as the reference's
+    # credit_proccess/active_proccess both terminate in dnb_proccess
+    leftovers = bank_left.unionByName(cu_left)
+    dnb_fallback = dnb_decide(
+        leftovers.withColumn("target_norm", F.col("m_norm")), "dnb_fallback"
+    )
+    results.append(dnb_fallback)
+
+    resolved = results[0]
+    for r in results[1:]:
+        resolved = resolved.unionByName(r)
+    # first resolution wins per probe (cascade order encoded by stage rank)
+    stage_rank = F.when(F.col("stage") == "dnb_corporate", 0).otherwise(
+        F.when(F.col("stage") == "cu_active", 1)
+        .when(F.col("stage") == "cu_mna", 2)
+        .when(F.col("stage") == "cu_closed", 3)
+        .when(F.col("stage") == "fdic_active", 4)
+        .when(F.col("stage") == "title_change_lq", 5)
+        .when(F.col("stage") == "title_change", 6)
+        .otherwise(7)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("m_norm", "m_city_norm", "m_state").orderBy(
+        stage_rank.asc(), F.col("best_dist").asc_nulls_last()
+    )
+    resolved = (
+        resolved.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+    out = m.join(
+        resolved, ["m_norm", "m_city_norm", "m_state"], "left"
+    ).select(
+        "mention_id",
+        "raw_name",
+        "m_norm",
+        F.when(F.col("is_corp"), "corporate")
+        .when(F.col("is_cu"), "credit_union")
+        .otherwise("bank")
+        .alias("route"),
+        F.coalesce("stage", F.lit("manual")).alias("stage"),
+        F.coalesce("gdun", F.lit(GDUN_MANUAL).cast("long")).alias("gdun"),
+        F.coalesce("match_status", F.lit("manual")).alias("match_status"),
+        "best_name",
+        "best_dist",
+        F.coalesce("list_of_duns", F.array().cast("array<long>")).alias("list_of_duns"),
+    )
+    return out

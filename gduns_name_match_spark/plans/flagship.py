@@ -72,3 +72,13 @@ def er_fixture_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa
         spark, fx.documents_df(spark, f), fx.registry_df(spark, f), n_salt=4
     )
     return res.decisions.select(*DECISION_COLS)
+
+
+def er_full_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Full multi-registry decision cascade (plans/cascade.py) over the
+    synthetic corpus: routing, FDIC/CU/events branches, all sentinels."""
+    from gduns_name_match_spark.plans.cascade import run_cascade
+
+    f = fx.generate(n_docs=120, seed=42)
+    mentions = fx.truth_df(spark, f).select("mention_id", "raw_name")
+    return run_cascade(spark, mentions, fx.registries(spark, f))

@@ -84,7 +84,30 @@ class Fixture:
     fdic_event_rows: list[dict]
     cu_active_rows: list[dict]
     cu_mna_rows: list[dict]
+    cu_closed_rows: list[dict]
     gazetteer_rows: list[dict]
+
+
+# Entities that exercise specific cascade branches (FIXTURES.md §4
+# cascade_cases). None of these names exist in dnb/fdic_active/cu_active.
+_RETIRED_CUS = [
+    "lakeshore employees credit union",
+    "granger county credit union",
+    "old dominion federal credit union",
+]
+_LQ_BANKS = [
+    "midland merchants bank",
+    "plains exchange bank",
+    "commerce guaranty bank",
+]
+_RENAMED_BANKS = [  # old name → merged into an active bank group
+    "blue ridge savings bank",
+    "cumberland traders bank",
+]
+_MNA_OLD_CUS = [  # old CU name → merged into an active CU group
+    "tri county postal credit union",
+    "harbor city municipal credit union",
+]
 
 
 def _media_ref(rng: random.Random) -> str:
@@ -204,6 +227,45 @@ def generate(
             registry_rows.append(row)
             duns += 1
 
+    # special cascade entities: ~6% of mentions reference entities that only
+    # resolve through closed/LQ/merger paths (see _RETIRED_CUS etc.)
+    # parent pool avoids indices that appear as chain children in the A→B→C
+    # merger events below (children sit at i, i+1 for i ∈ {0, 9, 18, ...}),
+    # so a renamed bank's truth gdun equals its ultimate chained parent
+    _banks_all = [g for g in groups if g.kind == "bank"]
+    bank_groups_for_parents = [
+        g
+        for idx, g in enumerate(_banks_all)
+        if idx % 9 in (3, 4, 5, 6) and g.canonical not in ambiguous_names
+    ][:4]
+    cu_groups_for_parents = [
+        g for g in groups if g.kind == "cu" and g.canonical not in ambiguous_names
+    ][:4]
+    renamed_parent = {
+        name: bank_groups_for_parents[i % len(bank_groups_for_parents)]
+        for i, name in enumerate(_RENAMED_BANKS)
+    }
+    mna_parent = {
+        name: cu_groups_for_parents[i % len(cu_groups_for_parents)]
+        for i, name in enumerate(_MNA_OLD_CUS)
+    }
+
+    def _draw_entity() -> tuple[str, str, int, str | None]:
+        """(canonical, kind, true_gdun, expected_status) for one mention."""
+        r = rng.random()
+        if r < 0.02 and _RETIRED_CUS:
+            return rng.choice(_RETIRED_CUS), "cu", -21000, "liquidated"
+        if r < 0.04 and _LQ_BANKS:
+            return rng.choice(_LQ_BANKS), "bank", -21000, "liquidated"
+        if r < 0.06 and _RENAMED_BANKS:
+            name = rng.choice(_RENAMED_BANKS)
+            return name, "bank", renamed_parent[name].gdun, "title_change"
+        if r < 0.08 and _MNA_OLD_CUS:
+            name = rng.choice(_MNA_OLD_CUS)
+            return name, "cu", mna_parent[name].gdun, "cu_mna"
+        g = rng.choice(groups)
+        return g.canonical, g.kind, g.gdun, None
+
     # documents: interleaved spans with strictly increasing offsets
     documents_rows: list[dict] = []
     mention_truth: list[dict] = []
@@ -221,8 +283,8 @@ def generate(
                     prose = " ".join(rng.choices(_PROSE_WORDS, k=rng.randint(3, 8)))
                     spans.append(("text", prose, "", offset))
                 offset += rng.randint(1, 5)
-            g = rng.choice(groups)
-            mention = _perturb(g.canonical, g.kind, rng, typos=typos)
+            canonical, kind, true_gdun, expected_status = _draw_entity()
+            mention = _perturb(canonical, kind, rng, typos=typos)
             span_pos = len(spans)
             spans.append(("name", mention, "", offset))
             offset += rng.randint(1, 5)
@@ -232,8 +294,12 @@ def generate(
                     "doc_id": doc_id,
                     "span_pos": span_pos,
                     "raw_name": mention,
-                    "true_gdun": g.gdun,
-                    "ambiguous": g.canonical in ambiguous_names,
+                    "true_gdun": true_gdun,
+                    # excluded from pairwise-F1 labels: ambiguous names (no
+                    # single truth cluster) and sentinel-path entities
+                    "ambiguous": canonical in ambiguous_names
+                    or expected_status is not None,
+                    "expected_status": expected_status,
                 }
             )
         if rng.random() < 0.4:
@@ -279,6 +345,35 @@ def generate(
         )
         rssd += 1
 
+    # cascade-branch entities (see _RETIRED_CUS et al.)
+    cu_closed_rows = [
+        {"id_rssd": 90_000 + i, "ncua_id": 95_000 + i, "name": name,
+         "city": rng.choice(_CITIES)[0], "state": rng.choice(_CITIES)[1],
+         "source": "NCUA"}
+        for i, name in enumerate(_RETIRED_CUS)
+    ]
+    for i, name in enumerate(_LQ_BANKS):
+        fdic_event_rows.append(
+            {"fdic_id": 80_000 + i, "name": name, "parent_fdic_id": -1,
+             "parent_name": "", "effdate": "2018-05-01", "source": "LQ",
+             "new_event_ind": 0}
+        )
+    for i, name in enumerate(_RENAMED_BANKS):
+        parent = renamed_parent[name]
+        fdic_event_rows.append(
+            {"fdic_id": 81_000 + i, "name": name, "parent_fdic_id": 3_000,
+             "parent_name": parent.canonical, "effdate": "2020-09-01",
+             "source": "TC", "new_event_ind": 0}
+        )
+    for i, name in enumerate(_MNA_OLD_CUS):
+        parent = mna_parent[name]
+        cu_mna_rows.append(
+            {"old_ncua_id": 70_000 + i, "new_ncua_id": 71_000 + i,
+             "name": name, "parent_name": parent.canonical,
+             "city": rng.choice(_CITIES)[0], "state": rng.choice(_CITIES)[1],
+             "date_": "2021-02-01", "new_event_ind": 0, "source": "MNA"}
+        )
+
     gazetteer_rows = [
         {"city": c, "state": s, "count": 1} for c, s in _CITIES
     ]
@@ -292,6 +387,7 @@ def generate(
         fdic_event_rows=fdic_event_rows,
         cu_active_rows=cu_active_rows,
         cu_mna_rows=cu_mna_rows,
+        cu_closed_rows=cu_closed_rows,
         gazetteer_rows=gazetteer_rows,
     )
 
@@ -337,5 +433,28 @@ def cu_active_df(spark: SparkSession, fx: Fixture) -> DataFrame:
     return spark.createDataFrame(fx.cu_active_rows)
 
 
+def cu_mna_df(spark: SparkSession, fx: Fixture) -> DataFrame:
+    return spark.createDataFrame(fx.cu_mna_rows)
+
+
+def cu_closed_df(spark: SparkSession, fx: Fixture) -> DataFrame:
+    return spark.createDataFrame(fx.cu_closed_rows)
+
+
 def gazetteer_df(spark: SparkSession, fx: Fixture) -> DataFrame:
     return spark.createDataFrame(fx.gazetteer_rows)
+
+
+def registries(spark: SparkSession, fx: Fixture):
+    """Bundle all registry tables for plans/cascade.run_cascade."""
+    from gduns_name_match_spark.plans.cascade import Registries
+
+    return Registries(
+        dnb=registry_df(spark, fx),
+        fdic_active=fdic_df(spark, fx),
+        fdic_events=fdic_events_df(spark, fx),
+        cu_active=cu_active_df(spark, fx),
+        cu_mna=cu_mna_df(spark, fx) if fx.cu_mna_rows else None,
+        cu_closed=cu_closed_df(spark, fx) if fx.cu_closed_rows else None,
+        gazetteer=gazetteer_df(spark, fx),
+    )

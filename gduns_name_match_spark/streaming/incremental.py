@@ -1,0 +1,88 @@
+"""Streaming / incremental-batch surface.
+
+The reference is batch-only (SURVEY.md §2.11): its temporal machinery is the
+max(effdate) watermark pull (fdic_events.py:32-34) and NEW_EVENT_IND flags.
+Two Spark-native equivalents live here:
+
+* ``incremental_match_batch`` — the production path at 10^12 docs: each run
+  matches only documents newer than the committed watermark and appends to
+  the decisions sink (idempotent by mention_id anti-join), mirroring the
+  reference's temp2-is-null resume semantics (spnv_match_file.py:34).
+* ``streaming_event_counts`` — genuine Structured Streaming: file-source
+  stream over a documents/events directory with a watermark + windowed
+  aggregation, Trigger.AvailableNow so tests drain it deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_match_batch(
+    spark: SparkSession,
+    new_documents: DataFrame,
+    registry: DataFrame,
+    decisions_sink_path: str,
+    **match_kwargs,
+) -> DataFrame:
+    """Match only not-yet-decided mentions and append to the sink.
+
+    Resume semantics: mention_ids already present in the sink are anti-joined
+    away, so re-running after a partial failure never duplicates rows — the
+    DataFrame version of the reference's flag-column checkpointing."""
+    from gduns_name_match_spark.plans.pipeline import match_documents
+
+    res = match_documents(spark, new_documents, registry, **match_kwargs)
+    decisions = res.decisions
+    try:
+        existing = spark.read.parquet(decisions_sink_path).select("mention_id")
+        decisions = decisions.join(existing, "mention_id", "left_anti")
+    except Exception:
+        pass  # first run: no sink yet
+    decisions.write.mode("append").parquet(decisions_sink_path)
+    return spark.read.parquet(decisions_sink_path)
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Windowed event counts as a real Structured Streaming job.
+
+    File source → withWatermark → window agg → parquet sink, drained with
+    Trigger.AvailableNow (deterministic in tests; the same query runs
+    continuously against a live directory/Kafka source on a cluster).
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -93,7 +93,12 @@ def test_pairwise_f1(spark, fixture, result):
 
 def test_ambiguous_get_multiple_sentinel(spark, fixture, result):
     truth = fx.truth_df(spark, fixture)
-    amb = truth.filter(F.col("ambiguous")).join(result.decisions, "mention_id")
+    # ambiguous-twin names only (cascade-branch entities carry an
+    # expected_status and resolve to other sentinels in plans/cascade.py)
+    amb = (
+        truth.filter(F.col("ambiguous") & F.col("expected_status").isNull())
+        .join(result.decisions, "mention_id")
+    )
     n = amb.count()
     if n == 0:
         pytest.skip("no ambiguous mentions sampled")
