@@ -157,8 +157,28 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = q_ngram_jaccard_pairs(spark, sf_dir)
-    return cand.join(jac, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # verify Jaccard ONLY on LSH candidates — the whole point of banding is
+    # to avoid the all-co-shingled-pairs intersection join (the DuckDB twin
+    # computes it the naive way; the result set is identical)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 SQL_MINHASH_LSH_PAIRS = f"""

@@ -88,7 +88,11 @@ def _match_step(
     pairs, _ = candidate_pairs(
         m_keyed, r_keyed, probe_id="m_norm", registry_id="r_norm", n_salt=4
     )
-    scored = pairs.withColumn("cos_dist", cos(F.col("m_norm"), F.col("r_norm")))
+    # core-count (not byte-count) partitioning before the Python kernel —
+    # see plans/pipeline.py for the AQE-coalescing rationale
+    scored = pairs.repartition(
+        spark.sparkContext.defaultParallelism * 2
+    ).withColumn("cos_dist", cos(F.col("m_norm"), F.col("r_norm")))
     return best_match_per_probe(scored, probe_id="m_norm", threshold=threshold).select(
         "m_norm",
         F.col("r_norm").alias("best_name"),
