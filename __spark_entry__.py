@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["er_neardup_decisions"] = flagship.flagship_neardup
     out["er_fixture_decisions"] = flagship.er_fixture_decisions
     out["er_full_cascade"] = flagship.er_full_cascade
+    out["er_neardup_clusters"] = flagship.er_neardup_clusters
     return out
 
 

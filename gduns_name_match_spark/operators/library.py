@@ -557,3 +557,76 @@ RELATIONAL_QUERIES["transitive_root_chase"] = (
     q_transitive_root_chase,
     SQL_TRANSITIVE_ROOT_CHASE,
 )
+
+
+# F4/D2 — sentinel string construction + int casts (reference builds
+# 'Multiple GDUNS found,{n}' markers and comma-joined lists with np.int64
+# coercion, automation_final2.py:486-520,1531).
+def q_sentinel_strings(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderstatus").alias("n_status"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_custkey",
+        F.when(
+            F.col("n_status") > 1,
+            F.format_string("Multiple statuses found,%d", F.col("n_status")),
+        )
+        .otherwise(F.lit("unique"))
+        .alias("status_marker"),
+        F.col("n_orders").cast("int").cast("bigint").alias("n_orders"),
+    )
+
+
+SQL_SENTINEL_STRINGS = """
+SELECT o_custkey,
+       CASE WHEN count(DISTINCT o_orderstatus) > 1
+            THEN format('Multiple statuses found,{}', count(DISTINCT o_orderstatus))
+            ELSE 'unique' END AS status_marker,
+       cast(cast(count(*) AS int) AS bigint) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+RELATIONAL_QUERIES["sentinel_strings"] = (q_sentinel_strings, SQL_SENTINEL_STRINGS)
+
+
+# gazetteer-style unique-key imputation (reference imputes STATE from CITY
+# when the gazetteer count is 1, automation_final2.py:1456-1458) — here:
+# impute a customer's region via the unique nation→region mapping.
+def q_unique_key_imputation(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    gaz = (
+        n.groupBy("n_nationkey")
+        .agg(F.count_distinct("n_regionkey").alias("cnt"),
+             F.first("n_regionkey").alias("n_regionkey"))
+        .filter(F.col("cnt") == 1)
+    )
+    return (
+        c.join(F.broadcast(gaz), c.c_nationkey == gaz.n_nationkey, "left")
+        .join(F.broadcast(r), gaz.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("imputed_region"),
+        )
+    )
+
+
+SQL_UNIQUE_KEY_IMPUTATION = """
+WITH gaz AS (
+  SELECT n_nationkey, first(n_regionkey) AS n_regionkey
+  FROM nation GROUP BY n_nationkey HAVING count(DISTINCT n_regionkey) = 1)
+SELECT c_custkey,
+       coalesce(r_name, 'UNKNOWN') AS imputed_region
+FROM customer
+LEFT JOIN gaz ON c_nationkey = n_nationkey
+LEFT JOIN region ON gaz.n_regionkey = r_regionkey
+"""
+
+RELATIONAL_QUERIES["unique_key_imputation"] = (
+    q_unique_key_imputation,
+    SQL_UNIQUE_KEY_IMPUTATION,
+)

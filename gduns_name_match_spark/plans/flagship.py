@@ -53,11 +53,12 @@ def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("text").cast("string").alias("company"))
         .distinct()
         .select(
-            F.xxhash64("company").alias("duns_num"),
+            # non-negative ids: the sentinel convention reserves gdun<=0
+            F.abs(F.xxhash64("company")).alias("duns_num"),
             "company",
             F.lit("").alias("city"),
             F.lit("").alias("st"),
-            F.xxhash64("company").alias("gl_ult_dun"),
+            F.abs(F.xxhash64("company")).alias("gl_ult_dun"),
         )
     )
     res = match_documents(spark, spans_docs, registry, n_salt=4)
@@ -72,6 +73,57 @@ def er_fixture_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa
         spark, fx.documents_df(spark, f), fx.registry_df(spark, f), n_salt=4
     )
     return res.decisions.select(*DECISION_COLS)
+
+
+def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters over the testdata documents: the
+    accepted (cos<=0.2) mention↔registry matches induce mention↔mention
+    edges (shared best registry name), closed under large-star/small-star
+    connected components. Output: one row per doc with its cluster id and
+    cluster size."""
+    from gduns_name_match_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans_docs = as_span_documents(docs)
+    registry = (
+        docs.select(F.col("text").cast("string").alias("company"))
+        .distinct()
+        .select(
+            # non-negative ids: the sentinel convention reserves gdun<=0
+            F.abs(F.xxhash64("company")).alias("duns_num"),
+            "company",
+            F.lit("").alias("city"),
+            F.lit("").alias("st"),
+            F.abs(F.xxhash64("company")).alias("gl_ult_dun"),
+        )
+    )
+    res = match_documents(spark, spans_docs, registry, n_salt=4)
+    matched = res.decisions.filter(F.col("gdun") > 0).select(
+        F.col("doc_id"), F.col("gdun").alias("anchor")
+    )
+    # edges: docs sharing an anchor → connect each doc to the anchor's min doc
+    a = matched.selectExpr("anchor", "doc_id as src")
+    b = matched.selectExpr("anchor", "doc_id as dst")
+    edges = (
+        a.join(b, "anchor")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.abs(F.xxhash64("src")).alias("src"), F.abs(F.xxhash64("dst")).alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    nodes = matched.select(
+        "doc_id", F.abs(F.xxhash64("doc_id")).alias("node_id")
+    ).dropDuplicates(["doc_id"])
+    out = attach_components(
+        nodes.withColumnRenamed("node_id", "node"), comp.withColumnRenamed("node", "node"), "node"
+    )
+    sizes = out.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "component").select(
+        "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
+    )
 
 
 def er_full_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
