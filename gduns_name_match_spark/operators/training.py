@@ -79,18 +79,58 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
 
 # ----------------------------------------------------- n-gram Jaccard dedup
 
+# stop-shingle cap: a shingle present in more document than this carries no
+# near-dup signal (it's boilerplate) and would emit O(df²) candidate pairs —
+# the operator's Jaccard is DEFINED over the df-capped shingle space, mirrored
+# exactly in the DuckDB twin, so correctness and scale agree
+JACCARD_MAX_DF = 1_000
+# shingles between these two get the salted-join treatment (exact results,
+# reducer-bounded), same shape as operators/blocking.py hot keys
+JACCARD_HOT_DF = 64
+JACCARD_N_SALT = 8
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-duplicate pairs by word-3-shingle Jaccard >= 0.5.
 
-    Candidate pairs come from the shared-shingle equi-join (never all-pairs);
-    at scale the shingle key is salted exactly like an ER block key."""
-    sh = _doc_shingles(spark, sf_dir)
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    max_df: int = JACCARD_MAX_DF,
+    hot_df: int = JACCARD_HOT_DF,
+    n_salt: int = JACCARD_N_SALT,
+) -> DataFrame:
+    """Near-dup pairs by shingle Jaccard >= 0.5 over (doc_id, shingle) rows.
+
+    Scale design (the shingle key IS a blocking key):
+    * shingles with df > max_df are excluded from the operator entirely
+      (stop-shingle removal — one boilerplate 3-gram must never produce a
+      quadratic reducer);
+    * shingles with hot_df < df <= max_df are salted: the b-side row fans out
+      to every salt shard, each a-side row draws one deterministic shard, so
+      every (a, b, shingle) co-occurrence still matches exactly once but no
+      single reducer sees a whole hot key.
+    """
+    counts = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = shingles.join(counts.filter(F.col("df") <= max_df), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.when(
+            F.col("df") > hot_df,
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.explode(
+            F.when(
+                F.col("df") > hot_df, F.sequence(F.lit(0), F.lit(n_salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("salt"),
+    )
     inter = (
-        a.join(b, "shingle")
+        a.join(b, ["shingle", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -111,8 +151,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by word-3-shingle Jaccard >= 0.5 (df-capped +
+    salted shingle join; see ngram_jaccard_pairs)."""
+    return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
+
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH shingles AS ({_SHINGLES_SQL}),
+WITH all_shingles AS ({_SHINGLES_SQL}),
+shingles AS (
+  SELECT * FROM all_shingles
+  WHERE shingle IN (SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF})),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -300,7 +350,9 @@ def q_embedding_topk(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"),
         F.col("norm").alias("p_norm"),
     )
-    joined = probes.join(F.broadcast(e), F.col("vec_id") != F.col("probe_id"))
+    # broadcast the PROBES (bounded small side); the corpus stays distributed —
+    # broadcasting the corpus would OOM the moment it outgrows one executor
+    joined = F.broadcast(probes).join(e, F.col("vec_id") != F.col("probe_id"))
     dot = F.aggregate(
         F.zip_with("p_emb", "emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )

@@ -451,6 +451,11 @@ def run_cascade(
         F.coalesce("match_status", F.lit("manual")).alias("match_status"),
         "best_name",
         "best_dist",
-        F.coalesce("list_of_duns", F.array().cast("array<long>")).alias("list_of_duns"),
+        # comma-joined string, the reference's own LIST_OF_DUNS format
+        # (automation_final2.py:457-466) — and hashable for the driver's
+        # pandas canonicalizer (array<long> is not)
+        F.concat_ws(
+            ",", F.coalesce("list_of_duns", F.array().cast("array<long>"))
+        ).alias("list_of_duns"),
     )
     return out

@@ -126,19 +126,21 @@ def checkpointed_match(
 
     res_holder: dict = {}
 
-    def _run_full():
-        res_holder["res"] = match_documents(spark, documents, registry, **match_kwargs)
+    def _get_res():
+        # lazy memoization: match_documents builds eagerly-executed jobs
+        # (IDF count/collect), so it must run at most once per process —
+        # dict.get(k, default) would evaluate the default eagerly every call
+        if "res" not in res_holder:
+            res_holder["res"] = match_documents(
+                spark, documents, registry, **match_kwargs
+            )
         return res_holder["res"]
 
-    mentions = ckpt.stage("mentions", lambda: _run_full().mentions, key_col="mention_id")
+    mentions = ckpt.stage("mentions", lambda: _get_res().mentions, key_col="mention_id")
     scored = ckpt.stage(
-        "pairs_scored",
-        lambda: res_holder.get("res", _run_full()).pairs_scored,
-        key_col="m_norm",
+        "pairs_scored", lambda: _get_res().pairs_scored, key_col="m_norm"
     )
     decisions = ckpt.stage(
-        "decisions",
-        lambda: res_holder.get("res", _run_full()).decisions,
-        key_col="mention_id",
+        "decisions", lambda: _get_res().decisions, key_col="mention_id"
     )
     return mentions, scored, decisions, ckpt

@@ -31,6 +31,9 @@ def effective_parents(events: DataFrame) -> DataFrame:
         F.max_by("parent_fdic_id", F.struct("effdate", "parent_fdic_id")).alias(
             "parent_fdic_id"
         ),
+        # source of the WINNING event (same max_by ordering), so trail
+        # reconstruction walks the identical functional graph
+        F.max_by("source", F.struct("effdate", "parent_fdic_id")).alias("source"),
         F.max("effdate").alias("effdate"),
     )
 
@@ -52,11 +55,14 @@ def resolve_event_chains(events: DataFrame) -> DataFrame:
     # chains are short (depth ≤ log-bounded), so join per hop is bounded by
     # the max depth actually present
     max_depth = resolved.agg(F.max("depth")).collect()[0][0] or 1
-    hop_src = events.select(
+    # hop graph = the SAME effective (latest-wins) parents chase_to_root used,
+    # not an arbitrary dropDuplicates pick — the trail must follow the
+    # identical functional graph as root resolution
+    hop_src = parents.select(
         F.col("fdic_id").alias("hop_child"),
         F.col("parent_fdic_id").alias("hop_parent"),
         F.col("source").alias("hop_source"),
-    ).dropDuplicates(["hop_child"])
+    )
     trail = resolved.select("fdic_id").withColumn("cur", F.col("fdic_id")).withColumn(
         "trail", F.array().cast("array<string>")
     )

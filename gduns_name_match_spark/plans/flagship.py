@@ -104,25 +104,31 @@ def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = res.decisions.filter(F.col("gdun") > 0).select(
         F.col("doc_id"), F.col("gdun").alias("anchor")
     )
-    # edges: docs sharing an anchor → connect each doc to the anchor's min doc
-    a = matched.selectExpr("anchor", "doc_id as src")
-    b = matched.selectExpr("anchor", "doc_id as dst")
-    edges = (
-        a.join(b, "anchor")
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.abs(F.xxhash64("src")).alias("src"), F.abs(F.xxhash64("dst")).alias("dst"))
-        .distinct()
-    )
+    edges = anchor_star_edges(matched)
     comp = connected_components(edges)
-    nodes = matched.select(
-        "doc_id", F.abs(F.xxhash64("doc_id")).alias("node_id")
-    ).dropDuplicates(["doc_id"])
-    out = attach_components(
-        nodes.withColumnRenamed("node_id", "node"), comp.withColumnRenamed("node", "node"), "node"
-    )
+    nodes = matched.select("doc_id").distinct()
+    out = attach_components(nodes, comp, "doc_id")
     sizes = out.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return out.join(sizes, "component").select(
         "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
+    )
+
+
+def anchor_star_edges(matched: DataFrame) -> DataFrame:
+    """Star edges from (doc_id, anchor) membership: each doc connects to its
+    anchor's minimum doc (the hub) — O(k) edges per k-doc anchor group, NOT
+    the all-pairs k²/2 join (a boilerplate mega-cluster at 100 TB would
+    otherwise explode before CC even starts). Same connected components.
+
+    Node ids are the REAL doc_id strings (CC's large/small-star only needs an
+    orderable type): hashed ids would silently merge unrelated docs on 64-bit
+    birthday collisions at 10^12 docs."""
+    hubs = matched.groupBy("anchor").agg(F.min("doc_id").alias("hub"))
+    return (
+        matched.join(hubs, "anchor")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+        .distinct()
     )
 
 

@@ -33,13 +33,15 @@ def incremental_match_batch(
     DataFrame version of the reference's flag-column checkpointing."""
     from gduns_name_match_spark.plans.pipeline import match_documents
 
+    import os
+
     res = match_documents(spark, new_documents, registry, **match_kwargs)
     decisions = res.decisions
-    try:
+    # explicit existence check, NOT a bare except: a corrupt/unreadable sink
+    # must raise, or the anti-join silently skips and rows duplicate
+    if os.path.exists(decisions_sink_path):
         existing = spark.read.parquet(decisions_sink_path).select("mention_id")
         decisions = decisions.join(existing, "mention_id", "left_anti")
-    except Exception:
-        pass  # first run: no sink yet
     decisions.write.mode("append").parquet(decisions_sink_path)
     return spark.read.parquet(decisions_sink_path)
 

@@ -1,0 +1,103 @@
+"""Scale-guard regression tests: the degenerate-key paths that explode at
+100 TB must stay linear/bounded at any size (VERDICT r1 'What's wrong' #2/#4).
+
+* anchor star edges — a k-doc mega-anchor must produce exactly k-1 edges,
+  never the all-pairs k²/2 join;
+* df-capped + salted shingle join — one boilerplate shingle shared by 1k docs
+  must not produce ~500k candidate pairs;
+* embedding top-k — the broadcast must be on the probe side, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_anchor_star_edges_linear(spark):
+    from gduns_name_match_spark.plans.flagship import anchor_star_edges
+
+    k = 1000
+    matched = spark.createDataFrame(
+        [(f"doc{i:05d}", 42) for i in range(k)] + [("docX", 7), ("docY", 7)],
+        "doc_id string, anchor long",
+    )
+    edges = anchor_star_edges(matched).collect()
+    # k-1 edges for the mega-anchor, 1 for the small one — O(k), not k²/2
+    assert len(edges) == (k - 1) + 1
+    hubs = {r["dst"] for r in edges}
+    assert hubs == {"doc00000", "docX"}
+
+
+def test_anchor_star_edges_same_components(spark):
+    """Star construction yields the same connected components as all-pairs."""
+    from gduns_name_match_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+    from gduns_name_match_spark.plans.flagship import anchor_star_edges
+
+    # doc c is in two anchors → bridges them into one component
+    rows = [
+        ("a", 1), ("b", 1), ("c", 1),
+        ("c", 2), ("d", 2),
+        ("e", 3),
+    ]
+    matched = spark.createDataFrame(rows, "doc_id string, anchor long")
+    comp = connected_components(anchor_star_edges(matched))
+    out = attach_components(
+        matched.select("doc_id").distinct(), comp, "doc_id"
+    ).collect()
+    by_doc = {r["doc_id"]: r["component"] for r in out}
+    assert by_doc["a"] == by_doc["b"] == by_doc["c"] == by_doc["d"]
+    assert by_doc["e"] != by_doc["a"]  # singleton stays its own component
+
+
+def test_hot_shingle_capped(spark):
+    """1k docs sharing one boilerplate shingle: the df cap drops it, so no
+    quadratic pair blow-up; genuinely-similar docs still pair up."""
+    from gduns_name_match_spark.operators.training import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(1000):
+        rows.append((f"doc{i:04d}", "boiler plate footer"))   # hot: df=1000
+        rows.append((f"doc{i:04d}", f"unique shingle {i}"))
+    # one true near-dup pair sharing two cold shingles
+    rows += [("dupA", "real shared one"), ("dupA", "real shared two")]
+    rows += [("dupB", "real shared one"), ("dupB", "real shared two")]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    pairs = ngram_jaccard_pairs(sh, max_df=100, hot_df=8, n_salt=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {("dupA", "dupB")}
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_salted_shingle_join_exact(spark):
+    """Salting must not change results: force every shingle hot and compare
+    against the unsalted (hot_df=∞) run."""
+    from gduns_name_match_spark.operators.training import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(40):
+        rows += [(f"d{i:02d}", f"common {i % 4}"), (f"d{i:02d}", f"own {i}")]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    salted = ngram_jaccard_pairs(sh, max_df=10_000, hot_df=0, n_salt=4)
+    plain = ngram_jaccard_pairs(sh, max_df=10_000, hot_df=10_000, n_salt=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_embedding_topk_broadcasts_probes(spark, tmp_path):
+    """The physical plan must broadcast the probe side (bounded) and keep the
+    corpus distributed (VERDICT r1 'What's wrong' #5)."""
+    from gduns_name_match_spark.operators.training import q_embedding_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, float(i % 5) - 2.0, 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    df = q_embedding_topk(spark, str(tmp_path))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # result sanity: 20 probes x 5 neighbors
+    assert df.count() == 100
