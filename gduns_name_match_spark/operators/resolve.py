@@ -14,6 +14,11 @@ DataFrame ops:
   reference re-fits a fresh vectorizer on the group's cities; we rank by
   cosine with the registry-wide city IDF — same argmin on any non-degenerate
   group, without a per-row model fit.
+* HQ tie-break — when name/city/state rungs all fail and the probe carries a
+  headquarters city (the MAINOFF=1 branch city of its matched FDIC record,
+  automation_final2.py:995-996), probe the group's cities with the HQ city;
+  a unique GL_ULT_DUN at hq_dist <= 0.2 resolves ('Data from DNB using
+  Headquaters', automation_final2.py:560-600).
 * sentinels — 'multiple_gduns' (-67000 with capped LIST_OF_DUNS,
   automation_final2.py:457-466,516-517), 'manual' (-1,
   automation_final2.py:658-675).
@@ -57,6 +62,7 @@ def resolve_gdun(
     probe_id: str = "mention_id",
     probe_city: str | None = "m_city",
     probe_state: str | None = "m_state",
+    probe_hq: str | None = None,
 ) -> DataFrame:
     """Decision cascade from best-name match to a GDUN or a sentinel status.
 
@@ -88,6 +94,18 @@ def resolve_gdun(
     )
     joined = joined.withColumn("state_eq", state_eq)
 
+    # HQ rung: '' means "no HQ known" (kept non-null so it can be a join key)
+    has_hq = probe_hq is not None and city_cosine_udf is not None
+    if has_hq:
+        joined = joined.withColumn(
+            "hq_dist",
+            F.when(F.col(probe_hq) == "", F.lit(1.0)).otherwise(
+                city_cosine_udf(F.col(probe_hq), F.col("g_city"))
+            ),
+        )
+    else:
+        joined = joined.withColumn("hq_dist", F.lit(1.0))
+
     agg = joined.groupBy(probe_id).agg(
         F.first("best_name").alias("best_name"),
         F.first("best_dist").alias("best_dist"),
@@ -104,6 +122,11 @@ def resolve_gdun(
         F.first(F.when(F.col("state_eq") == 1, F.col("g_gdun")), ignorenulls=True).alias(
             "gdun_by_state"
         ),
+        F.min("hq_dist").alias("min_hq_dist"),
+        F.count_distinct(
+            F.when(F.col("hq_dist") <= THRESHOLD, F.col("g_gdun"))
+        ).alias("n_gduns_hq_ok"),
+        F.min_by("g_gdun", F.struct("hq_dist", "g_gdun")).alias("gdun_by_hq"),
         F.first("g_gdun").alias("any_gdun"),
         F.slice(F.sort_array(F.collect_set("g_duns")), 1, LIST_OF_DUNS_CAP).alias(
             "list_of_duns"
@@ -119,6 +142,10 @@ def resolve_gdun(
             F.col("gdun_by_city"),
         )
         .when(F.col("n_gduns_state") == 1, F.col("gdun_by_state"))
+        .when(
+            (F.col("min_hq_dist") <= THRESHOLD) & (F.col("n_gduns_hq_ok") == 1),
+            F.col("gdun_by_hq"),
+        )
         .otherwise(F.lit(GDUN_MULTIPLE)),
     ).withColumn(
         "match_status",
@@ -128,10 +155,15 @@ def resolve_gdun(
             F.lit("matched_city_tiebreak"),
         )
         .when(F.col("n_gduns_state") == 1, F.lit("matched_state_tiebreak"))
+        .when(
+            (F.col("min_hq_dist") <= THRESHOLD) & (F.col("n_gduns_hq_ok") == 1),
+            F.lit("matched_hq_tiebreak"),
+        )
         .otherwise(F.lit("multiple_gduns")),
     )
     return decided.drop(
-        "n_gduns_city_ok", "gdun_by_city", "n_gduns_state", "gdun_by_state", "any_gdun"
+        "n_gduns_city_ok", "gdun_by_city", "n_gduns_state", "gdun_by_state",
+        "any_gdun", "min_hq_dist", "n_gduns_hq_ok", "gdun_by_hq",
     )
 
 

@@ -1,40 +1,57 @@
 """The full GDUN decision cascade (reference automation_final2.py §3.1),
-set-at-a-time.
+set-at-a-time — ONE blocking+scoring pass over all registries.
 
 Reference control flow per input row (automation_final2.py:1451-1472,
 driver loops :1476-1481, :1557-1562):
 
   route by corporate suffix / 'city of' (:346-351)
-    stream2 (corporate)  → DNB direct
-    stream1:
+    stream2 (corporate)  → spnv_check1 → DNB direct (:1463-1472)
+    stream1 (every row, spnv_check :1451-1460 → active_proccess):
       state imputation from gazetteer when STATE blank and the CITY is
-        unambiguous (Count==1, :1451-1460)
-      credit-union suffix (:834) → CU cascade:
+        unambiguous (Count==1)
+      fdic_active → (match; HQ city from the MAINOFF=1 branch, :995-996)
+                   → DNB on FDIC name, HQ as the last tie-break rung
+      fdic_events (title_change) → SOURCE='LQ' → -21000 (:1160-1170)
+                   else → DNB on the ULTIMATE chained parent name
+      credit_proccess (:830) — fallback for every failed bank row, but
+        GATED on the original name's CU suffix (:834; non-CU-suffixed rows
+        skip straight to the DNB fallback):
         cu_active → (match) → DNB on CU name
         cu_mna    → (match) → DNB on the merger parent name
         cu_closed → (match) → -21000 liquidated (:926)
-      else bank cascade:
-        fdic_active → (match; city→state→MAINOFF HQ tie-break :995-996)
-                     → DNB on FDIC name
-        fdic_events (title_change) → SOURCE='LQ' → -21000 (:1160-1170)
-                     else → DNB on the ULTIMATE chained parent name
-        cu fallback → dnb fallback → Manual (-1, :658-675)
+      dnb fallback → Manual (-1, :658-675)
 
-Each cascade step is one blocking+scoring match job over the *unresolved*
-probes only — rows fall through branches as anti-joins, not Python loops.
-The DNB terminal decision (unique-GDUN / city tie-break / state tie-break /
--67000 with capped LIST_OF_DUNS) is operators/resolve.resolve_gdun.
+Spark-first decomposition (replaces round 1's ~8 sequential match jobs):
 
-Documented divergence: the reference re-fits a per-group TF-IDF for city
-tie-breaks (V5, :437-441); we rank by cosine under the registry-wide city
-IDF — same argmin on non-degenerate groups, no per-row model fit.
+* PASS 1 — mentions vs the UNION of all registry names (tagged by registry):
+  one blocking + Arrow-scoring job; per-(mention, registry) best via one
+  window. At 10^12 mentions this is the only mention-volume scoring job.
+* PASS 2 — candidate DNB *targets* (CU names, merger parents, FDIC names,
+  event ultimate parents) vs DNB: mention-INDEPENDENT, O(|registries|) — the
+  second hop of every cascade branch precomputed once.
+* branch assembly + terminal GDUN decision (operators/resolve.resolve_gdun:
+  unique → city → state → HQ → -67000) are pure joins; cascade priority is
+  one row_number window keyed by the full probe identity INCLUDING the route
+  flags (mentions sharing a normalized name but different routes decide
+  independently).
+* OLD_GDUN self-audit: when mentions carry old_gdun, the output's match_ind
+  is 'Y'/'N' vs the final gdun (reference automation_final2.py:472-479).
+
+Documented divergences: (1) per-group TF-IDF re-fits for city tie-breaks are
+replaced by the registry-wide city IDF (see operators/resolve.py); (2) the
+reference fits one vectorizer per registry — here a single engine-wide IDF
+over the union of registry names scores both passes (the 0.2 acceptor is
+insensitive to the re-weighting on non-degenerate vocabularies, asserted by
+the branch-parity tests); (3) the HQ city for an FDIC name with several
+certs is the deterministic min MAINOFF=1 city of that name (the reference
+picks the cert surviving its per-row city probe).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gduns_name_match_spark.functions.normalize import (
@@ -43,16 +60,34 @@ from gduns_name_match_spark.functions.normalize import (
     normalize_city_col,
     normalize_name_col,
 )
-from gduns_name_match_spark.functions.similarity import build_idf, make_cosine_udf
+from gduns_name_match_spark.functions.similarity import build_idf, make_pair_scorer, make_cosine_udf
 from gduns_name_match_spark.operators.blocking import candidate_pairs, with_block_keys
 from gduns_name_match_spark.operators.cluster import chase_to_root
 from gduns_name_match_spark.operators.resolve import (
     GDUN_LIQUIDATED,
     GDUN_MANUAL,
     THRESHOLD,
-    best_match_per_probe,
     resolve_gdun,
 )
+
+# priority of cascade stages (reference branch order: every stream-1 row
+# tries the FDIC/bank branches first, the CU branches are the suffix-gated
+# credit_proccess fallback); lower wins
+STAGE_RANK = {
+    "dnb_corporate": 0,
+    "fdic_active": 1,
+    "title_change_lq": 2,
+    "title_change": 3,
+    "cu_active": 4,
+    "cu_mna": 5,
+    "cu_closed": 6,
+    "dnb_fallback": 7,
+}
+
+# probe identity through the whole cascade: the normalized name, the geo keys
+# AND the route flags — two mentions sharing a name but routed differently
+# (corporate vs bank/CU) must decide independently
+PROBE_KEYS = ["m_norm", "m_city_norm", "m_state", "is_corp", "is_cu"]
 
 
 @dataclass
@@ -66,38 +101,6 @@ class Registries:
     cu_mna: DataFrame | None = None    # old/new ncua ids, name, parent_name
     cu_closed: DataFrame | None = None
     gazetteer: DataFrame | None = None  # city, state, count
-
-
-def _norm_names(df: DataFrame, name_col: str) -> DataFrame:
-    return df.select(
-        normalize_name_col(F.col(name_col)).alias("r_norm")
-    ).dropDuplicates(["r_norm"])
-
-
-def _match_step(
-    spark: SparkSession,
-    probes: DataFrame,          # (m_norm) distinct
-    registry_names: DataFrame,  # (r_norm) distinct
-    idf: dict,
-    threshold: float = THRESHOLD,
-) -> DataFrame:
-    """(m_norm, best_name, best_dist) for probes whose best cosine <= τ."""
-    cos = make_cosine_udf(spark, idf)
-    m_keyed = with_block_keys(probes, "m_norm")
-    r_keyed = with_block_keys(registry_names, "r_norm")
-    pairs, _ = candidate_pairs(
-        m_keyed, r_keyed, probe_id="m_norm", registry_id="r_norm", n_salt=4
-    )
-    # core-count (not byte-count) partitioning before the Python kernel —
-    # see plans/pipeline.py for the AQE-coalescing rationale
-    scored = pairs.repartition(
-        spark.sparkContext.defaultParallelism * 2
-    ).withColumn("cos_dist", cos(F.col("m_norm"), F.col("r_norm")))
-    return best_match_per_probe(scored, probe_id="m_norm", threshold=threshold).select(
-        "m_norm",
-        F.col("r_norm").alias("best_name"),
-        F.col("cos_dist").alias("best_dist"),
-    )
 
 
 def impute_state(mentions: DataFrame, gazetteer: DataFrame | None) -> DataFrame:
@@ -122,16 +125,59 @@ def impute_state(mentions: DataFrame, gazetteer: DataFrame | None) -> DataFrame:
     ).drop("gz_state")
 
 
+def _accepted_pairs(
+    spark: SparkSession,
+    probes: DataFrame,      # one column: probe_col, distinct
+    names: DataFrame,       # one column: name_col, distinct
+    idf: dict,
+    threshold: float,
+    probe_col: str,
+    name_col: str,
+) -> DataFrame:
+    """One blocking + salted join + Arrow-batched scoring job; returns the
+    accepted (probe, name, cos_dist) pairs (dist <= threshold)."""
+    scorer = make_pair_scorer(spark, idf)
+    pairs, _ = candidate_pairs(
+        with_block_keys(probes, probe_col),
+        with_block_keys(names, name_col),
+        probe_id=probe_col,
+        registry_id=name_col,
+        n_salt=4,
+    )
+    # JVM length prefilter + core-count repartition before the Python kernel
+    # (same rationale as plans/pipeline.py)
+    len_ok = (
+        F.least(F.length(probe_col), F.length(name_col))
+        >= 0.4 * F.greatest(F.length(probe_col), F.length(name_col))
+    )
+    scored = (
+        pairs.filter(len_ok)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .withColumn(
+            "cos_dist", scorer(F.col(probe_col), F.col(name_col)).getField("cos_dist")
+        )
+    )
+    return scored.filter(F.col("cos_dist") <= threshold)
+
+
+def _norm_reg(df: DataFrame | None, name_col: str) -> DataFrame | None:
+    if df is None:
+        return None
+    return df.withColumn("norm_name", normalize_name_col(F.col(name_col)))
+
+
 def run_cascade(
     spark: SparkSession,
     mentions: DataFrame,
     regs: Registries,
     threshold: float = THRESHOLD,
 ) -> DataFrame:
-    """mentions: (mention_id, raw_name [, city, state]) →
-    one decision row per mention: (mention_id, route, stage, gdun,
-    match_status, best_name, best_dist, list_of_duns)."""
+    """mentions: (mention_id, raw_name [, city, state, old_gdun]) →
+    one decision row per mention: (mention_id, raw_name, m_norm, route,
+    stage, gdun, match_status, best_name, best_dist, list_of_duns,
+    old_gdun, match_ind)."""
     has_geo = "city" in mentions.columns
+    has_old = "old_gdun" in mentions.columns
     # city/state are join keys through the whole cascade — coalesce to ''
     # (SQL NULL keys never compare equal, which would silently drop geo-less
     # mentions from every equi/anti-join)
@@ -147,10 +193,11 @@ def run_cascade(
         ).alias("m_state"),
         is_corporate_routed_col(F.col("raw_name")).alias("is_corp"),
         is_credit_union_col(F.col("raw_name")).alias("is_cu"),
+        (F.col("old_gdun") if has_old else F.lit(None)).cast("long").alias("old_gdun"),
     )
     m = impute_state(m, regs.gazetteer).persist()
 
-    # normalized registries
+    # ---- normalized registries
     dnb = regs.dnb.select(
         "duns_num",
         "gl_ult_dun",
@@ -158,277 +205,292 @@ def run_cascade(
         normalize_city_col(F.col("city")).alias("norm_city"),
         F.col("st"),
     ).persist()
-    dnb_idf = build_idf(dnb, "norm_name")
-    dnb_names = dnb.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"])
 
-    fdic = regs.fdic_active.select(
-        "fdic_id",
-        normalize_name_col(F.col("name")).alias("norm_name"),
+    fdic = _norm_reg(regs.fdic_active, "name").select(
+        "fdic_id", "norm_name",
         normalize_city_col(F.col("city")).alias("norm_city"),
-        F.col("state"),
-        "mainoff",
-    ).persist()
-    fdic_idf = build_idf(fdic, "norm_name")
+        F.col("state"), "mainoff",
+    )
+    # HQ city per FDIC name: the MAINOFF=1 branch's city (reference
+    # :995-996); min() makes the multi-cert case deterministic (divergence 3)
+    fdic_hq = (
+        fdic.filter(F.col("mainoff") == 1)
+        .groupBy("norm_name")
+        .agg(F.min("norm_city").alias("hq_city"))
+    )
 
     events = regs.fdic_events.select(
-        "fdic_id",
         normalize_name_col(F.col("name")).alias("norm_name"),
         normalize_name_col(F.col("parent_name")).alias("parent_norm"),
-        "parent_fdic_id",
-        "effdate",
-        "source",
-    ).persist()
-    events_idf = build_idf(events, "norm_name")
-    # ultimate parent per event name via pointer doubling on NAME space
+        "effdate", "source",
+    )
+    # latest event wins per name; ultimate parent via pointer doubling
     name_parents = events.groupBy("norm_name").agg(
         F.max_by("parent_norm", F.struct("effdate", "parent_norm")).alias("parent_norm"),
         F.max_by("source", F.struct("effdate", "parent_norm")).alias("source"),
-    )
+    ).persist()
     chained = chase_to_root(
         name_parents.select("norm_name", "parent_norm"), "norm_name", "parent_norm"
     ).withColumnRenamed("root_id", "ultimate_parent")
 
-    cu = regs.cu_active.select(
-        "ncua_id", normalize_name_col(F.col("name")).alias("norm_name")
-    ).persist()
-    cu_idf = build_idf(cu, "norm_name")
-
+    cu = _norm_reg(regs.cu_active, "name").select("ncua_id", "norm_name")
     cu_mna = (
         regs.cu_mna.select(
             normalize_name_col(F.col("name")).alias("norm_name"),
             normalize_name_col(F.col("parent_name")).alias("parent_norm"),
-        ).persist()
+        )
         if regs.cu_mna is not None
         else None
     )
     cu_closed = (
-        regs.cu_closed.select(
-            normalize_name_col(F.col("name")).alias("norm_name")
-        ).persist()
+        regs.cu_closed.select(normalize_name_col(F.col("name")).alias("norm_name"))
         if regs.cu_closed is not None
         else None
     )
 
-    city_cos = make_cosine_udf(spark, build_idf(dnb, "norm_city"))
-
-    def dnb_decide(probe_names: DataFrame, stage: str) -> DataFrame:
-        """probe_names: (m_norm, m_city_norm, m_state, target_norm) — match
-        target against DNB and run the terminal GDUN decision."""
-        probe_names = probe_names.select(
-            "m_norm", "m_city_norm", "m_state", "target_norm"
-        ).distinct()
-        targets = probe_names.select(
-            F.col("target_norm").alias("m_norm")
-        ).distinct()
-        best = _match_step(spark, targets, dnb_names, dnb_idf, threshold)
-        hit = probe_names.join(
-            best.withColumnRenamed("m_norm", "target_norm"), "target_norm"
+    # ---- PASS 1: mentions vs the union of all registry names, one job
+    def _tagged(df: DataFrame | None, tag: str) -> DataFrame | None:
+        if df is None:
+            return None
+        return (
+            df.select(F.col("norm_name").alias("r_norm"))
+            .dropDuplicates(["r_norm"])
+            .withColumn("tag", F.lit(tag))
         )
-        # per (target, city, state) decision — city tie-break needs the geo
-        decided = resolve_gdun(
-            hit.select(
-                F.concat_ws(
-                    "", "m_norm", "m_city_norm", "m_state"
-                ).alias("probe_key"),
-                "best_name",
-                "best_dist",
-                F.col("m_city_norm").alias("m_city"),
-                F.col("m_state").alias("m_state"),
-            ).dropDuplicates(["probe_key"]),
-            dnb,
-            city_cosine_udf=city_cos,
-            probe_id="probe_key",
-            probe_city="m_city",
-            probe_state="m_state",
-        ).drop("best_name", "best_dist", "n_gduns", "min_city_dist")
-        out = (
-            hit.withColumn(
-                "probe_key",
-                F.concat_ws("", "m_norm", "m_city_norm", "m_state"),
+
+    tag_frames = [
+        _tagged(dnb, "dnb"),
+        _tagged(fdic, "fdic"),
+        _tagged(events, "events"),
+        _tagged(cu, "cu"),
+        _tagged(cu_mna, "cu_mna"),
+        _tagged(cu_closed, "cu_closed"),
+    ]
+    reg_names = None
+    for tf in tag_frames:
+        if tf is None:
+            continue
+        reg_names = tf if reg_names is None else reg_names.unionByName(tf)
+    reg_names = reg_names.persist()
+    all_names = reg_names.select("r_norm").distinct()
+
+    idf = build_idf(all_names, "r_norm")
+    probes = m.select("m_norm").distinct()
+    accepted = _accepted_pairs(
+        spark, probes, all_names, idf, threshold, "m_norm", "r_norm"
+    )
+    w1 = Window.partitionBy("m_norm", "tag").orderBy(
+        F.col("cos_dist").asc(), F.col("r_norm").asc()
+    )
+    best1 = (
+        accepted.join(reg_names, "r_norm")
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("m_norm", "tag", F.col("r_norm").alias("best_name"),
+                F.col("cos_dist").alias("best_dist"))
+        .localCheckpoint()
+    )
+
+    def tag_best(tag: str) -> DataFrame:
+        return best1.filter(F.col("tag") == tag).drop("tag")
+
+    # ---- PASS 2: candidate DNB targets vs DNB (mention-independent)
+    target_frames = [
+        cu.select(F.col("norm_name").alias("t_norm")) if cu is not None else None,
+        cu_mna.select(F.col("parent_norm").alias("t_norm")) if cu_mna is not None else None,
+        fdic.select(F.col("norm_name").alias("t_norm")),
+        chained.select(F.col("ultimate_parent").alias("t_norm")),
+        name_parents.select(F.col("norm_name").alias("t_norm")),
+    ]
+    targets = None
+    for tf in target_frames:
+        if tf is None:
+            continue
+        targets = tf if targets is None else targets.unionByName(tf)
+    targets = targets.filter(F.col("t_norm") != "").distinct()
+    dnb_names = dnb.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"])
+    accepted2 = _accepted_pairs(
+        spark, targets.withColumnRenamed("t_norm", "m_norm"), dnb_names,
+        idf, threshold, "m_norm", "r_norm",
+    )
+    w2 = Window.partitionBy("m_norm").orderBy(F.col("cos_dist").asc(), F.col("r_norm").asc())
+    best2 = (
+        accepted2.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("m_norm").alias("t_norm"),
+            F.col("r_norm").alias("dnb_name"),
+            F.col("cos_dist").alias("dnb_dist"),
+        )
+        .localCheckpoint()
+    )
+
+    # ---- branch assembly (pure joins; a branch row exists iff the branch's
+    # match chain succeeded — the priority window below replaces round 1's
+    # per-branch anti-joins)
+    mb = m.select(*PROBE_KEYS).distinct().persist()
+    corp_mb = mb.filter(F.col("is_corp"))
+    # EVERY stream-1 mention tries the FDIC/events branches (reference
+    # spnv_check → active_proccess); only CU-suffixed ones are eligible for
+    # the credit_proccess fallback branches
+    noncorp_mb = mb.filter(~F.col("is_corp"))
+    bank_mb = noncorp_mb
+    cu_mb = noncorp_mb.filter(F.col("is_cu"))
+
+    empty_hq = F.lit("").alias("hq_city")
+
+    def _dnb_branch(base: DataFrame, first_hop: DataFrame, stage: str,
+                    hq: DataFrame | None = None) -> DataFrame:
+        """base ⋈ first_hop(m_norm → t_norm, dist) ⋈ best2 → branch rows
+        carrying the DNB name to decide on."""
+        hop = base.join(first_hop, "m_norm")
+        hop = hop.join(best2, "t_norm")
+        if hq is not None:
+            hop = hop.join(hq, F.col("t_norm") == hq.norm_name, "left").drop("norm_name")
+            hq_col = F.coalesce("hq_city", F.lit("")).alias("hq_city")
+        else:
+            hq_col = empty_hq
+        return hop.select(
+            *PROBE_KEYS,
+            F.lit(stage).alias("stage"),
+            F.col("dnb_name"),
+            F.col("dnb_dist"),
+            hq_col,
+        )
+
+    branches = []
+
+    # corporate / fallback: the DNB target IS the mention's own name
+    self_hop_corp = tag_best("dnb").select(
+        "m_norm", F.col("best_name").alias("dnb_name"), F.col("best_dist").alias("dnb_dist")
+    )
+    branches.append(
+        corp_mb.join(self_hop_corp, "m_norm").select(
+            *PROBE_KEYS, F.lit("dnb_corporate").alias("stage"),
+            "dnb_name", "dnb_dist", empty_hq,
+        )
+    )
+    branches.append(
+        noncorp_mb.join(self_hop_corp, "m_norm").select(
+            *PROBE_KEYS, F.lit("dnb_fallback").alias("stage"),
+            "dnb_name", "dnb_dist", empty_hq,
+        )
+    )
+
+    # credit-union chain
+    cu_hop = tag_best("cu").select("m_norm", F.col("best_name").alias("t_norm"))
+    branches.append(_dnb_branch(cu_mb, cu_hop, "cu_active"))
+    if cu_mna is not None:
+        mna_hop = (
+            tag_best("cu_mna")
+            .join(cu_mna.withColumnRenamed("norm_name", "best_name"), "best_name")
+            .select("m_norm", F.col("parent_norm").alias("t_norm"))
+        )
+        branches.append(_dnb_branch(cu_mb, mna_hop, "cu_mna"))
+
+    # bank chain: FDIC active carries the HQ city into the decision
+    fdic_hop = tag_best("fdic").select("m_norm", F.col("best_name").alias("t_norm"))
+    branches.append(_dnb_branch(bank_mb, fdic_hop, "fdic_active", hq=fdic_hq))
+
+    ev_meta = tag_best("events").join(
+        name_parents.select(F.col("norm_name").alias("best_name"), "source"),
+        "best_name",
+    ).join(
+        chained.select(F.col("norm_name").alias("best_name"), "ultimate_parent"),
+        "best_name", "left",
+    )
+    tc_hop = ev_meta.filter(F.col("source") != "LQ").select(
+        "m_norm", F.coalesce("ultimate_parent", "best_name").alias("t_norm")
+    )
+    branches.append(_dnb_branch(bank_mb, tc_hop, "title_change"))
+
+    # terminal (no-DNB) branches: liquidations
+    terminals = []
+    if cu_closed is not None:
+        closed_hit = cu_mb.join(tag_best("cu_closed"), "m_norm")
+        terminals.append(
+            closed_hit.select(
+                *PROBE_KEYS, F.lit("cu_closed").alias("stage"),
+                "best_name", "best_dist",
             )
-            .join(decided, "probe_key")
-            .select(
-                "m_norm",
-                "m_city_norm",
-                "m_state",
-                F.lit(stage).alias("stage"),
-                "gdun",
-                "match_status",
-                F.col("best_name"),
-                F.col("best_dist"),
-                "list_of_duns",
-            )
         )
-        # branch results are small; eager-materialize so downstream anti-joins
-        # and the final union don't re-execute the whole match DAG per branch
-        return out.localCheckpoint()
-
-    def anti(probes: DataFrame, resolved: DataFrame) -> DataFrame:
-        return probes.join(
-            resolved.select("m_norm", "m_city_norm", "m_state").distinct(),
-            ["m_norm", "m_city_norm", "m_state"],
-            "left_anti",
-        )
-
-    results = []
-
-    # ---- corporate stream: DNB direct
-    corp_probes = (
-        m.filter(F.col("is_corp"))
-        .select("m_norm", "m_city_norm", "m_state")
-        .distinct()
-    )
-    corp_res = dnb_decide(
-        corp_probes.withColumn("target_norm", F.col("m_norm")), "dnb_corporate"
-    )
-    results.append(corp_res)
-
-    # ---- stream 1 (cascade)
-    s1 = (
-        m.filter(~F.col("is_corp"))
-        .select("m_norm", "m_city_norm", "m_state", "is_cu")
-        .distinct()
-        .persist()
-    )
-
-    # credit-union branch
-    cu_probes = s1.filter(F.col("is_cu")).drop("is_cu")
-    cu_best = _match_step(
-        spark, cu_probes.select("m_norm").distinct(),
-        cu.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
-        cu_idf, threshold,
-    )
-    cu_hit = cu_probes.join(cu_best, "m_norm")
-    cu_res = dnb_decide(
-        cu_hit.withColumn("target_norm", F.col("best_name")), "cu_active"
-    )
-    results.append(cu_res)
-    cu_left = anti(cu_probes, cu_res)
-
-    if cu_mna is not None and not cu_mna.isEmpty():
-        mna_idf = build_idf(cu_mna, "norm_name")
-        mna_best = _match_step(
-            spark, cu_left.select("m_norm").distinct(),
-            cu_mna.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
-            mna_idf, threshold,
-        )
-        mna_hit = (
-            cu_left.join(mna_best, "m_norm")
-            .join(
-                cu_mna.withColumnRenamed("norm_name", "best_name"), "best_name"
-            )
-        )
-        mna_res = dnb_decide(
-            mna_hit.withColumn("target_norm", F.col("parent_norm")), "cu_mna"
-        )
-        results.append(mna_res)
-        cu_left = anti(cu_left, mna_res)
-
-    if cu_closed is not None and not cu_closed.isEmpty():
-        closed_idf = build_idf(cu_closed, "norm_name")
-        closed_best = _match_step(
-            spark, cu_left.select("m_norm").distinct(),
-            cu_closed.select(F.col("norm_name").alias("r_norm")).dropDuplicates(
-                ["r_norm"]
-            ),
-            closed_idf, threshold,
-        )
-        closed_res = cu_left.join(closed_best, "m_norm").select(
-            "m_norm", "m_city_norm", "m_state",
-            F.lit("cu_closed").alias("stage"),
-            F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
-            F.lit("liquidated").alias("match_status"),
-            "best_name", "best_dist",
-            F.array().cast("array<long>").alias("list_of_duns"),
-        ).localCheckpoint()
-        results.append(closed_res)
-        cu_left = anti(cu_left, closed_res)
-
-    # bank branch: FDIC active with city→state→HQ tie-break
-    bank_probes = s1.filter(~F.col("is_cu")).drop("is_cu")
-    fdic_best = _match_step(
-        spark, bank_probes.select("m_norm").distinct(),
-        fdic.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
-        fdic_idf, threshold,
-    )
-    fdic_hit = bank_probes.join(fdic_best, "m_norm")
-    # Note on the HQ tie-break (:995-996): the reference uses MAINOFF=1 to
-    # pick WHICH branch row's city feeds its diagnostics; the GDUN probe is
-    # the matched FDIC *name* either way, so the terminal decision below is
-    # gdun-equivalent. The mainoff flag itself is carried by the fixture and
-    # asserted in tests via the registry (branch selection has no gdun effect).
-    fdic_res = dnb_decide(
-        fdic_hit.withColumn("target_norm", F.col("best_name")), "fdic_active"
-    )
-    results.append(fdic_res)
-    bank_left = anti(bank_probes, fdic_res)
-
-    # title_change / fdic_events: LQ → -21000, else chase parents to root
-    ev_best = _match_step(
-        spark, bank_left.select("m_norm").distinct(),
-        events.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
-        events_idf, threshold,
-    )
-    ev_hit = (
-        bank_left.join(ev_best, "m_norm")
-        .join(
-            name_parents.select(
-                F.col("norm_name").alias("best_name"), "source"
+    lq_hit = bank_mb.join(
+        tag_best("events").join(
+            name_parents.filter(F.col("source") == "LQ").select(
+                F.col("norm_name").alias("best_name")
             ),
             "best_name",
-        )
-        .join(
-            chained.select(
-                F.col("norm_name").alias("best_name"), "ultimate_parent"
-            ),
-            "best_name",
-            "left",
-        )
-    )
-    lq = ev_hit.filter(F.col("source") == "LQ").select(
-        "m_norm", "m_city_norm", "m_state",
-        F.lit("title_change_lq").alias("stage"),
-        F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
-        F.lit("liquidated").alias("match_status"),
-        "best_name", "best_dist",
-        F.array().cast("array<long>").alias("list_of_duns"),
-    ).localCheckpoint()
-    results.append(lq)
-    tc = ev_hit.filter(F.col("source") != "LQ")
-    tc_res = dnb_decide(
-        tc.withColumn(
-            "target_norm", F.coalesce("ultimate_parent", "best_name")
         ),
-        "title_change",
+        "m_norm",
     )
-    results.append(tc_res)
-    bank_left = anti(bank_left, lq.unionByName(tc_res))
-
-    # remaining stream-1 (both sub-branches): DNB fallback, as the reference's
-    # credit_proccess/active_proccess both terminate in dnb_proccess
-    leftovers = bank_left.unionByName(cu_left)
-    dnb_fallback = dnb_decide(
-        leftovers.withColumn("target_norm", F.col("m_norm")), "dnb_fallback"
+    terminals.append(
+        lq_hit.select(
+            *PROBE_KEYS, F.lit("title_change_lq").alias("stage"),
+            "best_name", "best_dist",
+        )
     )
-    results.append(dnb_fallback)
 
-    resolved = results[0]
-    for r in results[1:]:
-        resolved = resolved.unionByName(r)
-    # first resolution wins per probe (cascade order encoded by stage rank)
-    stage_rank = F.when(F.col("stage") == "dnb_corporate", 0).otherwise(
-        F.when(F.col("stage") == "cu_active", 1)
-        .when(F.col("stage") == "cu_mna", 2)
-        .when(F.col("stage") == "cu_closed", 3)
-        .when(F.col("stage") == "fdic_active", 4)
-        .when(F.col("stage") == "title_change_lq", 5)
-        .when(F.col("stage") == "title_change", 6)
-        .otherwise(7)
+    dnb_branches = branches[0]
+    for b in branches[1:]:
+        dnb_branches = dnb_branches.unionByName(b)
+    dnb_branches = dnb_branches.localCheckpoint()
+
+    # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq)
+    city_cos = make_cosine_udf(spark, build_idf(dnb, "norm_city"))
+    SEP = "\u0001"  # cannot appear in normalized (lowercase-alnum) values
+    dec_in = (
+        dnb_branches.select(
+            F.col("dnb_name").alias("best_name"),
+            F.col("m_city_norm").alias("m_city"),
+            F.col("m_state"),
+            F.col("hq_city"),
+        )
+        .distinct()
+        .withColumn(
+            "probe_key",
+            F.concat_ws(SEP, "best_name", "m_city", "m_state", "hq_city"),
+        )
+        .withColumn("best_dist", F.lit(None).cast("double"))
     )
-    from pyspark.sql import Window
+    decided = resolve_gdun(
+        dec_in, dnb,
+        city_cosine_udf=city_cos,
+        probe_id="probe_key",
+        probe_city="m_city",
+        probe_state="m_state",
+        probe_hq="hq_city",
+    ).select("probe_key", "gdun", "match_status", "list_of_duns").localCheckpoint()
 
-    w = Window.partitionBy("m_norm", "m_city_norm", "m_state").orderBy(
-        stage_rank.asc(), F.col("best_dist").asc_nulls_last()
+    resolved = (
+        dnb_branches.withColumn(
+            "probe_key",
+            F.concat_ws(SEP, "dnb_name", "m_city_norm", "m_state", "hq_city"),
+        )
+        .join(decided, "probe_key")
+        .select(
+            *PROBE_KEYS, "stage", "gdun", "match_status",
+            F.col("dnb_name").alias("best_name"),
+            F.col("dnb_dist").alias("best_dist"),
+            "list_of_duns",
+        )
+    )
+    for t in terminals:
+        resolved = resolved.unionByName(
+            t.select(
+                *PROBE_KEYS, "stage",
+                F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
+                F.lit("liquidated").alias("match_status"),
+                "best_name", "best_dist",
+                F.array().cast("array<long>").alias("list_of_duns"),
+            )
+        )
+
+    # ---- cascade priority: first (lowest-rank) succeeding branch wins
+    stage_rank = F.lit(None).cast("int")
+    for name, rank in STAGE_RANK.items():
+        stage_rank = F.when(F.col("stage") == name, rank).otherwise(stage_rank)
+    w = Window.partitionBy(*PROBE_KEYS).orderBy(
+        stage_rank.asc(), F.col("best_dist").asc_nulls_last(), F.col("best_name").asc()
     )
     resolved = (
         resolved.withColumn("rk", F.row_number().over(w))
@@ -436,9 +498,7 @@ def run_cascade(
         .drop("rk")
     )
 
-    out = m.join(
-        resolved, ["m_norm", "m_city_norm", "m_state"], "left"
-    ).select(
+    out = m.join(resolved, PROBE_KEYS, "left").select(
         "mention_id",
         "raw_name",
         "m_norm",
@@ -457,5 +517,11 @@ def run_cascade(
         F.concat_ws(
             ",", F.coalesce("list_of_duns", F.array().cast("array<long>"))
         ).alias("list_of_duns"),
+        "old_gdun",
+        # OLD_GDUN self-audit (reference automation_final2.py:472-479)
+        F.when(F.col("old_gdun").isNull(), F.lit(None).cast("string"))
+        .when(F.col("old_gdun") == F.coalesce("gdun", F.lit(GDUN_MANUAL)), "Y")
+        .otherwise("N")
+        .alias("match_ind"),
     )
     return out

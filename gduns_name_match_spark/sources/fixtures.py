@@ -19,6 +19,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from gduns_name_match_spark.functions.normalize import CREDIT_UNION_SUFFIXES
+
+
+def _cu_gate(name: str) -> bool:
+    """The reference's credit_proccess gate (automation_final2.py:834): the
+    CU fallback branches only run when the ORIGINAL name keeps a CU suffix.
+    Perturbation can strip it — then the row dies in the DNB fallback."""
+    return name.lower().endswith(CREDIT_UNION_SUFFIXES)
+
 # ---------------------------------------------------------------- word stock
 
 _ADJ = [
@@ -285,6 +294,15 @@ def generate(
                 offset += rng.randint(1, 5)
             canonical, kind, true_gdun, expected_status = _draw_entity()
             mention = _perturb(canonical, kind, rng, typos=typos)
+            # CU-branch truths hold only if the perturbed mention still
+            # passes the reference's suffix gate; otherwise the row ends in
+            # the DNB fallback → Manual (-1)
+            if (
+                kind == "cu"
+                and expected_status in ("liquidated", "cu_mna")
+                and not _cu_gate(mention)
+            ):
+                true_gdun, expected_status = -1, "manual_gate"
             span_pos = len(spans)
             spans.append(("name", mention, "", offset))
             offset += rng.randint(1, 5)

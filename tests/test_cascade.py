@@ -68,14 +68,32 @@ def test_normal_mentions_accuracy(cascade_result):
 
 
 def test_ambiguous_twins_get_multiple(cascade_result):
+    """Same-name twin groups: -67000 multiple, unless a tie-break rung
+    (geo-less mentions: only the FDIC HQ rung can fire) legitimately picks
+    ONE of the two twins — the reference resolves exactly this way via the
+    MAINOFF=1 headquarters city (automation_final2.py:560-600)."""
     amb = cascade_result.filter(
         F.col("ambiguous") & F.col("expected_status").isNull()
     )
     if amb.count() == 0:
         pytest.skip("no ambiguous twins sampled")
-    bad = amb.filter(F.col("match_status") != "multiple_gduns")
+    allowed = {"multiple_gduns", "matched_hq_tiebreak"}
+    bad = amb.filter(~F.col("match_status").isin(*allowed))
     assert bad.count() == 0, bad.select(
         "raw_name", "stage", "gdun", "match_status"
+    ).collect()
+    multi = amb.filter(F.col("match_status") == "multiple_gduns")
+    assert multi.filter(F.col("gdun") != -67000).count() == 0
+    # an HQ resolution must land on one of the two twin gduns
+    hq = amb.filter(F.col("match_status") == "matched_hq_tiebreak")
+    twin = F.when(
+        F.col("true_gdun") < 90_000, F.col("true_gdun") + 90_000
+    ).otherwise(F.col("true_gdun") - 90_000)
+    wrong_hq = hq.filter(
+        (F.col("gdun") != F.col("true_gdun")) & (F.col("gdun") != twin)
+    )
+    assert wrong_hq.count() == 0, wrong_hq.select(
+        "raw_name", "gdun", "true_gdun"
     ).collect()
 
 
@@ -91,3 +109,68 @@ def test_routing(cascade_result):
         assert (
             corp.filter(~F.col("stage").isin("dnb_corporate", "manual")).count() == 0
         )
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_hq_tiebreak_and_match_ind(spark):
+    """Reference automation_final2.py:560-600/995-996: when name, city and
+    state rungs all fail, the MAINOFF=1 branch city of the matched FDIC
+    record decides; OLD_GDUN drives the match_ind audit (:472-479)."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "alpha bank", "Springfield", "IL", 100),
+            (2, "alpha bank", "Shelby", "TN", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [(10, "alpha bank", "Springfield", "IL", 1)],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = _empty(
+        spark,
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "alpha bank", "Nowhere", "ZZ", 100),
+            ("m2", "alpha bank", "Nowhere", "ZZ", 999),
+        ],
+        "mention_id string, raw_name string, city string, state string, old_gdun long",
+    )
+    out = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()
+    by_id = {r.mention_id: r for r in out}
+    assert by_id["m1"].stage == "fdic_active"
+    assert by_id["m1"].gdun == 100
+    assert by_id["m1"].match_status == "matched_hq_tiebreak"
+    assert by_id["m1"].match_ind == "Y"
+    assert by_id["m2"].gdun == 100
+    assert by_id["m2"].match_ind == "N"
+
+
+def test_match_ind_null_without_old_gdun(cascade_result):
+    """Mentions without OLD_GDUN must not fabricate an audit flag."""
+    assert cascade_result.filter(F.col("match_ind").isNotNull()).count() == 0
+
+
+def test_gate_broken_cu_mentions_manual(cascade_result):
+    """Perturbations that strip the CU suffix must send the row to the DNB
+    fallback and Manual — the reference's credit_proccess gate (:834), NOT a
+    cross-route inheritance of the suffixed twin's decision."""
+    gated = cascade_result.filter(F.col("expected_status") == "manual_gate")
+    if gated.count() == 0:
+        pytest.skip("no gate-broken CU mentions sampled")
+    bad = gated.filter((F.col("gdun") != -1) | (F.col("match_status") != "manual"))
+    assert bad.count() == 0, bad.select(
+        "raw_name", "stage", "gdun", "match_status"
+    ).collect()
