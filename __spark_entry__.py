@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["er_fixture_decisions"] = flagship.er_fixture_decisions
     out["er_full_cascade"] = flagship.er_full_cascade
     out["er_neardup_clusters"] = flagship.er_neardup_clusters
+    out["er_mna_transitions"] = flagship.er_mna_transitions
+    out["spnv_match_raw"] = flagship.spnv_match_raw
     return out
 
 

@@ -1,0 +1,103 @@
+"""SPNV_MATCH_RAW-shaped compat view (reference automation_final2.py
+:1482-1536): renames the engine's typed decision columns into the reference's
+42-column insert schema so an output-level diff against a reference run is a
+plain dataframe compare.
+
+The engine keeps richer typed columns internally; diagnostics the Spark
+pipeline does not produce per-row (the reference's intermediate per-branch
+kneighbor distances) are emitted as typed NULLs, exactly like the
+reference's own ``temp.fillna('null')`` + NULL-literal inserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# transcribed from the reference INSERT column list (automation_final2.py
+# :1527) / reindex list (:1523) — order preserved
+SPNV_MATCH_RAW_COLUMNS = [
+    "PERM_ID", "SEC_PARTY_CMN_NM", "SEC_PARTY_COMPRESS_CMN_NM",
+    "SEC_PARTY_ADDR_CITY_NM", "SEC_PARTY_ADDR_STATE_CD", "FLININGS_COUNT",
+    "WK_DUNS", "WK_GDUN_NAME", "WK_GDUN", "COMPRESSES_SEC_PARTY_NAME",
+    "COMPRESSES_SEC_PARTY_CITY", "COMPRESSES_SEC_PARTY_STATE",
+    "FDIC_ACTIVE_PARENT", "FDIC_INACTIVE_PARENT_IDN",
+    "FDIC_INACTIVE_PARENT_MAP", "FINAL_FDIC_PARENT", "FJ_GDUN",
+    "FJ_GDUN_NAME", "MATCH_IND", "FJ_DUN_NAME", "FJ_DUNS", "DUNS_COUNT",
+    "SOURCE", "DNB_UNIQUE_ID", "ACTIVE_UNIQUE_ID", "PARENT_UNIQUE_ID",
+    "ACTIVE_NAME_DISTANCE", "ACTIVE_CITY_DISTANCE",
+    "INACTIVE_TITLE_DISTANCE", "PARENT_NAME_DISTANCE",
+    "PARENT_CITY_DISTANCE", "DNB_NAME_DISTANCE", "DNB_CITY_DISTANCE",
+    "DETAIL_INFO", "COMMENTS", "CREDIT_UNION_PARENT",
+    "CREDIT_UNION_ACTIVE_DIST", "CREDIT_UNION_CLOSED_DIST",
+    "CREDIT_UNION_MNA_DIST", "TEMP1", "TEMP2", "LIST_OF_DUNS",
+]
+
+# stage → reference SOURCE code (automation_final2.py: 'DNB' default :556,
+# FDIC branch SOURCE column, credit_proccess SOURCE= literals :854,890,924)
+_STAGE_SOURCE = {
+    "fdic_active": "FDIC",
+    "title_change_lq": "LQ",
+    "title_change": "TC",
+    "cu_active": "CREDITUNION_ACTIVE",
+    "cu_mna": "CREDITUNION_MNA",
+    "cu_closed": "CREDITUNION_CLOSED",
+}
+
+
+def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
+    """plans/cascade.run_cascade output → the 42-column reference shape."""
+    src = F.lit("DNB")
+    for stage, code in _STAGE_SOURCE.items():
+        src = F.when(F.col("stage") == stage, code).otherwise(src)
+    ns = lambda: F.lit(None).cast("string")  # noqa: E731
+    nd = lambda: F.lit(None).cast("double")  # noqa: E731
+    nl = lambda: F.lit(None).cast("long")    # noqa: E731
+    return decisions.select(
+        F.col("mention_id").alias("PERM_ID"),
+        F.col("raw_name").alias("SEC_PARTY_CMN_NM"),
+        ns().alias("SEC_PARTY_COMPRESS_CMN_NM"),
+        ns().alias("SEC_PARTY_ADDR_CITY_NM"),
+        ns().alias("SEC_PARTY_ADDR_STATE_CD"),
+        nl().alias("FLININGS_COUNT"),
+        nl().alias("WK_DUNS"),
+        ns().alias("WK_GDUN_NAME"),
+        F.col("old_gdun").cast("long").alias("WK_GDUN"),
+        F.col("m_norm").alias("COMPRESSES_SEC_PARTY_NAME"),
+        ns().alias("COMPRESSES_SEC_PARTY_CITY"),
+        ns().alias("COMPRESSES_SEC_PARTY_STATE"),
+        ns().alias("FDIC_ACTIVE_PARENT"),
+        ns().alias("FDIC_INACTIVE_PARENT_IDN"),
+        ns().alias("FDIC_INACTIVE_PARENT_MAP"),
+        F.when(F.col("stage").isin("fdic_active", "title_change"), F.col("best_name"))
+        .otherwise(ns())
+        .alias("FINAL_FDIC_PARENT"),
+        F.col("gdun").cast("long").alias("FJ_GDUN"),
+        ns().alias("FJ_GDUN_NAME"),
+        F.col("match_ind").alias("MATCH_IND"),
+        F.col("best_name").alias("FJ_DUN_NAME"),
+        nl().alias("FJ_DUNS"),
+        nl().alias("DUNS_COUNT"),
+        src.alias("SOURCE"),
+        nl().alias("DNB_UNIQUE_ID"),
+        nl().alias("ACTIVE_UNIQUE_ID"),
+        nl().alias("PARENT_UNIQUE_ID"),
+        nd().alias("ACTIVE_NAME_DISTANCE"),
+        nd().alias("ACTIVE_CITY_DISTANCE"),
+        nd().alias("INACTIVE_TITLE_DISTANCE"),
+        nd().alias("PARENT_NAME_DISTANCE"),
+        nd().alias("PARENT_CITY_DISTANCE"),
+        F.col("best_dist").cast("double").alias("DNB_NAME_DISTANCE"),
+        nd().alias("DNB_CITY_DISTANCE"),
+        ns().alias("DETAIL_INFO"),
+        F.col("match_status").alias("COMMENTS"),
+        F.when(F.col("stage").isin("cu_active", "cu_mna"), F.col("best_name"))
+        .otherwise(ns())
+        .alias("CREDIT_UNION_PARENT"),
+        nd().alias("CREDIT_UNION_ACTIVE_DIST"),
+        nd().alias("CREDIT_UNION_CLOSED_DIST"),
+        nd().alias("CREDIT_UNION_MNA_DIST"),
+        nl().alias("TEMP1"),
+        ns().alias("TEMP2"),
+        F.col("list_of_duns").alias("LIST_OF_DUNS"),
+    )

@@ -630,3 +630,205 @@ RELATIONAL_QUERIES["unique_key_imputation"] = (
     q_unique_key_imputation,
     SQL_UNIQUE_KEY_IMPUTATION,
 )
+
+
+# --------------------------------------------------------------------------
+# S2 — CSV source scan (reference reads FDIC/NCUA extracts from CSV:
+# fdic_active.py:54 'locations.csv', Credit_union_active.py:68,
+# credit_union_closed.py:62, fdic_events.py:109-118). The fixture CSV is
+# deterministic (no external data); the oracle recomputes from the same rows.
+_CSV_CITIES = ["denver", "omaha", "austin", "boise", "fargo"]
+_CSV_STATES = ["CO", "NE", "TX", "ID", "ND"]
+_CSV_ROWS = [
+    (i, f"first community bank {i:02d}", _CSV_CITIES[i % 5], _CSV_STATES[i % 5],
+     1 if i % 3 == 0 else 0)
+    for i in range(30)
+]
+_CSV_DIR = "/tmp/gduns_csv_fixture"
+
+
+def _write_csv_fixture() -> str:
+    import os
+    import tempfile
+
+    path = f"{_CSV_DIR}/locations.csv"
+    if os.path.exists(path):
+        return path
+    os.makedirs(_CSV_DIR, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_CSV_DIR, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        fh.write("cert,name,city,stalp,mainoff\n")
+        for cert, name, city, stalp, mainoff in _CSV_ROWS:
+            fh.write(f"{cert},{name},{city},{stalp},{mainoff}\n")
+    os.replace(tmp, path)  # atomic: concurrent readers never see a torn file
+    return path
+
+
+def q_csv_scan(spark, sf_dir):  # noqa: ARG001 (fixture CSV is sf-independent)
+    path = _write_csv_fixture()
+    df = spark.read.csv(
+        path, header=True,
+        schema="cert bigint, name string, city string, stalp string, mainoff bigint",
+    )
+    return (
+        df.filter(F.col("mainoff") == 1)
+        .select("cert", F.upper("name").alias("name_uc"), "city", "stalp")
+    )
+
+
+SQL_CSV_SCAN = (
+    "SELECT cast(cert AS bigint) AS cert, upper(name) AS name_uc, city, stalp\n"
+    "FROM (VALUES "
+    + ", ".join(
+        f"({c}, '{n}', '{ci}', '{st}', {mo})" for c, n, ci, st, mo in _CSV_ROWS
+    )
+    + ") AS t(cert, name, city, stalp, mainoff)\nWHERE mainoff = 1"
+)
+
+RELATIONAL_QUERIES["csv_scan"] = (q_csv_scan, SQL_CSV_SCAN)
+
+
+# --------------------------------------------------------------------------
+# P3/P4 — the full routing gate (corporate suffix router automation_final2.py
+# :346-351 + credit-union gate :834) as one oracle entry over a fixed name
+# panel covering every branch; the SQL twin is GENERATED from the same
+# suffix constants so the two sides cannot drift.
+_GATE_NAMES = [
+    "summit national bank",
+    "navy federal credit union",
+    "pioneer employees cu",
+    "coastal teachers fcu",
+    "harbor city municipal credit union, as trustee",
+    "acme capital llc",
+    "zenith holdings, inc",
+    "apex leasing corp",
+    "big bank llc",                    # corp suffix BUT mentions bank → stream1
+    "first credit union partners llc", # corp suffix BUT mentions credit union
+    "city of denver",
+    "city of omaha bank",              # 'city of' BUT mentions bank → stream1
+    "plain old company name",
+    "cascade savings bank ltd.",
+    "meridian trust company",
+]
+
+
+def q_routing_gate(spark, sf_dir):  # noqa: ARG001
+    from gduns_name_match_spark.functions.normalize import (
+        is_corporate_routed_col,
+        is_credit_union_col,
+    )
+
+    names = spark.createDataFrame([(n,) for n in _GATE_NAMES], "name string")
+    route = (
+        F.when(is_corporate_routed_col(F.col("name")), "corporate")
+        .when(is_credit_union_col(F.col("name")), "credit_union")
+        .otherwise("bank")
+    )
+    return names.select("name", route.alias("route"))
+
+
+def _routing_gate_sql() -> str:
+    from gduns_name_match_spark.functions.normalize import (
+        CORPORATE_SUFFIXES,
+        CREDIT_UNION_SUFFIXES,
+    )
+
+    corp_ends = " OR ".join(
+        f"ends_with(lname, '{s}')" for s in CORPORATE_SUFFIXES
+    )
+    cu_ends = " OR ".join(f"ends_with(lname, '{s}')" for s in CREDIT_UNION_SUFFIXES)
+    values = ", ".join(f"('{n}')" for n in _GATE_NAMES)
+    return f"""
+WITH names AS (SELECT * FROM (VALUES {values}) AS t(name)),
+low AS (SELECT name, lower(name) AS lname FROM names)
+SELECT name,
+       CASE WHEN (({corp_ends}) OR starts_with(lname, 'city of'))
+                 AND NOT regexp_matches(lname, 'bank|credit union')
+            THEN 'corporate'
+            WHEN {cu_ends} THEN 'credit_union'
+            ELSE 'bank' END AS route
+FROM low
+"""
+
+
+RELATIONAL_QUERIES["routing_gate"] = (q_routing_gate, _routing_gate_sql())
+
+
+# --------------------------------------------------------------------------
+# V1 — char 1/2/3-gram tokenizer (reference analyzer automation_final2.py
+# :373-384 incl. the '[,-./]|\\sBD' strip) as an oracle entry: per-name gram
+# multiset counts, DuckDB recomputing the grams positionally.
+_NGRAM_NAMES = [
+    "summitnationalbank",
+    "navyfederalcreditunion",
+    "first, community./bank",   # exercises the strip step
+    "aa BD bb",                 # exercises the '\\sBD' strip
+    "xy",
+    "q",
+]
+
+
+def q_ngram_tokens(spark, sf_dir):  # noqa: ARG001
+    from gduns_name_match_spark.functions.similarity import ngrams_udf
+
+    names = spark.createDataFrame([(n,) for n in _NGRAM_NAMES], "name string")
+    return (
+        names.select("name", F.explode(ngrams_udf(F.col("name"))).alias("ngram"))
+        .groupBy("name", "ngram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _ngram_sql(select: str, group: str) -> str:
+    values = ", ".join(f"('{n}')" for n in _NGRAM_NAMES)
+    return f"""
+WITH names AS (SELECT * FROM (VALUES {values}) AS t(name)),
+cleaned AS (
+  SELECT name, regexp_replace(name, '[,-./]|\\sBD', '', 'g') AS s FROM names),
+grams AS (
+  SELECT name, substring(s, i, sz) AS ngram
+  FROM cleaned,
+       (SELECT unnest([1, 2, 3]) AS sz) sizes,
+       LATERAL (SELECT unnest(range(1, length(s) - sz + 2)) AS i) pos)
+SELECT {select} FROM grams GROUP BY {group}
+"""
+
+
+SQL_NGRAM_TOKENS = _ngram_sql("name, ngram, count(*) AS n", "1, 2")
+
+RELATIONAL_QUERIES["ngram_tokens"] = (q_ngram_tokens, SQL_NGRAM_TOKENS)
+
+
+# --------------------------------------------------------------------------
+# V2 — TF-IDF fit: per-gram document frequency and smooth IDF
+# (sklearn-default idf(t) = ln((1+n)/(1+df)) + 1, automation_final2.py
+# :387-395) over the same name panel.
+def q_idf_counts(spark, sf_dir):  # noqa: ARG001
+    from gduns_name_match_spark.functions.similarity import ngrams_udf
+
+    names = spark.createDataFrame([(n,) for n in _NGRAM_NAMES], "name string")
+    n_docs = len(_NGRAM_NAMES)
+    return (
+        names.select(
+            F.explode(F.array_distinct(ngrams_udf(F.col("name")))).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "ngram",
+            "df",
+            F.round(
+                F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0, 4
+            ).alias("idf"),
+        )
+    )
+
+
+SQL_IDF_COUNTS = f"""
+WITH grams AS ({_ngram_sql("name, ngram", "1, 2")})
+SELECT ngram, count(*) AS df,
+       round(ln((1.0 + {len(_NGRAM_NAMES)}) / (1.0 + count(*))) + 1.0, 4) AS idf
+FROM grams GROUP BY ngram
+"""
+
+RELATIONAL_QUERIES["idf_counts"] = (q_idf_counts, SQL_IDF_COUNTS)

@@ -140,3 +140,29 @@ def er_full_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG
     f = fx.generate(n_docs=120, seed=42)
     mentions = fx.truth_df(spark, f).select("mention_id", "raw_name")
     return run_cascade(spark, mentions, fx.registries(spark, f))
+
+
+def er_mna_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """ongoing_mna end-to-end (plans/events.mna_transitions): unpivot each
+    merger event's old/new names, resolve both sides against DNB in ONE match
+    job, re-pivot into transition rows (reference ongoing_mna.py:611-648)."""
+    from gduns_name_match_spark.plans.events import mna_transitions
+
+    f = fx.generate(n_docs=120, seed=42)
+    bank_events = fx.fdic_events_df(spark, f).select(
+        F.col("fdic_id").cast("long").alias("event_id"), "name", "parent_name"
+    )
+    cu_events = fx.cu_mna_df(spark, f).select(
+        F.col("old_ncua_id").cast("long").alias("event_id"), "name", "parent_name"
+    )
+    return mna_transitions(
+        spark, bank_events.unionByName(cu_events), fx.registry_df(spark, f)
+    )
+
+
+def spnv_match_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade output renamed into the reference's 42-column
+    SPNV_MATCH_RAW insert shape (operators/compat.py)."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+
+    return to_spnv_match_raw(er_full_cascade(spark, sf_dir))
