@@ -155,9 +155,23 @@ def _tune_worker_gc() -> None:
     _GC_TUNED = True
 
 
+_IDF_REGISTRY_CAP = 16  # concurrent scorers per executor; eviction is rare
+
+
 def _register_idf(idf_key: str, idf: dict[str, float]) -> None:
-    """Runs on the executor in the real module namespace (by-reference pickle)."""
+    """Runs on the executor in the real module namespace (by-reference pickle).
+
+    Bounded: beyond _IDF_REGISTRY_CAP entries the oldest is evicted and the
+    vector cache cleared (its entries reference the evicted vocabulary) — a
+    long-lived executor serving many registries must not leak one IDF dict
+    per scorer ever built."""
     _tune_worker_gc()
+    if idf_key in _IDF_REGISTRY:
+        return
+    if len(_IDF_REGISTRY) >= _IDF_REGISTRY_CAP:
+        oldest = next(iter(_IDF_REGISTRY))
+        del _IDF_REGISTRY[oldest]
+        _tfidf_vector.cache_clear()
     _IDF_REGISTRY[idf_key] = idf
 
 

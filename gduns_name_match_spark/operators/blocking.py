@@ -46,8 +46,12 @@ def with_block_keys(
     df: DataFrame, norm_col: str = "norm_name", out_col: str = "block_key",
     prefix_len: int = 4,
 ) -> DataFrame:
-    """Explode one row per (row, block_key)."""
-    return df.withColumn(out_col, F.explode(block_keys_col(F.col(norm_col), prefix_len)))
+    """Explode one row per (row, block_key); ``all_keys`` keeps the row's full
+    key array so the pair join can enforce min-shared-key ownership (each
+    pair emitted by exactly ONE of its shared keys — no pair-dedup shuffle)."""
+    return df.withColumn(
+        "all_keys", block_keys_col(F.col(norm_col), prefix_len)
+    ).withColumn(out_col, F.explode("all_keys"))
 
 
 def candidate_pairs(
@@ -66,13 +70,28 @@ def candidate_pairs(
     (probe_id, registry_id) with all columns of both sides; ``key_stats``
     records per-key registry population and the dropped/hot flags so no cap is
     silent (lineage requirement, BASELINE.json north_rule).
+
+    Pair uniqueness comes from min-shared-key OWNERSHIP, not a dedup shuffle:
+    a pair sharing several block keys is emitted only by the smallest shared
+    (non-dropped) key — each copy checks ``block_key == min(intersect)``
+    locally, so the dropDuplicates shuffle over the full pair stream (round
+    1's single biggest e2e cost) disappears. When dropped keys exist they are
+    removed from the ownership intersection (the dropped set is pathological
+    and tiny; if it ever exceeds the broadcastable bound we fall back to the
+    dedup shuffle rather than lose pairs).
     """
     stats = (
         registry_keyed.groupBy(key_col)
         .agg(F.count("*").alias("reg_rows"))
         .withColumn("is_dropped", F.col("reg_rows") > max_block)
         .withColumn("is_hot", (F.col("reg_rows") > hot_key_threshold) & ~F.col("is_dropped"))
+        .persist()
     )
+    dropped_keys = [
+        r[key_col]
+        for r in stats.filter(F.col("is_dropped")).select(key_col).limit(10_001).collect()
+    ]
+    ownership_exact = len(dropped_keys) <= 10_000
 
     reg = registry_keyed.join(
         F.broadcast(stats.filter(~F.col("is_dropped")).select(key_col, "is_hot")),
@@ -98,9 +117,21 @@ def candidate_pairs(
         ).otherwise(F.lit(0)),
     ).drop("is_hot")
 
-    pairs = (
-        probe.join(reg, [key_col, "salt"])
-        .drop(key_col, "salt")
-        .dropDuplicates([probe_id, registry_id])
-    )
+    probe = probe.withColumnRenamed("all_keys", "_p_keys")
+    reg = reg.withColumnRenamed("all_keys", "_r_keys")
+    joined = probe.join(reg, [key_col, "salt"])
+    if ownership_exact:
+        shared = F.array_intersect("_p_keys", "_r_keys")
+        if dropped_keys:
+            shared = F.array_except(
+                shared, F.array(*[F.lit(k) for k in dropped_keys])
+            )
+        pairs = joined.filter(F.col(key_col) == F.array_min(shared)).drop(
+            key_col, "salt", "_p_keys", "_r_keys"
+        )
+    else:  # pathological dropped-key volume: exact dedup fallback
+        pairs = (
+            joined.drop(key_col, "salt", "_p_keys", "_r_keys")
+            .dropDuplicates([probe_id, registry_id])
+        )
     return pairs, stats

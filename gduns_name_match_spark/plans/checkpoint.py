@@ -143,4 +143,7 @@ def checkpointed_match(
     decisions = ckpt.stage(
         "decisions", lambda: _get_res().decisions, key_col="mention_id"
     )
+    # blocking drop/hot counters committed WITH the run — a max_block drop in
+    # production must never be silent (BASELINE.json north_rule lineage)
+    ckpt.stage("key_stats", lambda: _get_res().key_stats, key_col="block_key")
     return mentions, scored, decisions, ckpt

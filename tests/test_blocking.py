@@ -118,3 +118,45 @@ def test_explode_duns_details(spark):
     assert sorted((r["mention_id"], r["fj_duns"]) for r in out) == [
         ("m1", 1), ("m1", 2), ("m1", 3)
     ]
+
+
+def test_ownership_emits_each_pair_exactly_once(spark):
+    """min-shared-key ownership must yield the same pair SET as a brute
+    dedup, with no duplicates — including when names share several keys and
+    keys are hot-salted."""
+    from pyspark.sql import functions as F
+
+    from gduns_name_match_spark.operators.blocking import (
+        candidate_pairs,
+        with_block_keys,
+    )
+
+    # names engineered to share prefix+soundex+metaphone keys simultaneously
+    reg_names = [f"summitbank{i:03d}" for i in range(40)] + ["summitbank", "sumitbank"]
+    probe_names = ["summitbank", "summitbanc", "sumitbank", "other"]
+    reg = spark.createDataFrame([(n,) for n in reg_names], "r_norm string")
+    probes = spark.createDataFrame([(n,) for n in probe_names], "m_norm string")
+    pairs, _ = candidate_pairs(
+        with_block_keys(probes, "m_norm"),
+        with_block_keys(reg, "r_norm"),
+        probe_id="m_norm",
+        registry_id="r_norm",
+        hot_key_threshold=5,   # force salting on the shared keys
+        n_salt=4,
+    )
+    rows = pairs.select("m_norm", "r_norm").collect()
+    assert len(rows) == len({(r["m_norm"], r["r_norm"]) for r in rows}), "dup pairs"
+    # same set as the brute exploded-join + distinct
+    brute = (
+        with_block_keys(probes, "m_norm").select("m_norm", "block_key")
+        .join(
+            with_block_keys(reg, "r_norm").select("r_norm", "block_key"),
+            "block_key",
+        )
+        .select("m_norm", "r_norm")
+        .distinct()
+        .collect()
+    )
+    assert {(r["m_norm"], r["r_norm"]) for r in rows} == {
+        (r["m_norm"], r["r_norm"]) for r in brute
+    }
