@@ -28,7 +28,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-FIXTURE_DIR = Path(f"/tmp/gduns_bench_fixture_{BENCH_DOCS}")
+# VERSIONED cache dir: bump when the fixture generator or the pair pipeline
+# changes shape — round 1's per-round bench silently reused a stale /tmp
+# fixture from an earlier generator (1.36M pairs vs the 8.45M baseline
+# corpus), making rounds incomparable
+_FIXTURE_VERSION = "v2"
+FIXTURE_DIR = Path(f"/tmp/gduns_bench_fixture_{_FIXTURE_VERSION}_{BENCH_DOCS}")
 
 
 def prepare_fixture(spark) -> None:
@@ -165,6 +170,8 @@ def run_queries(spark) -> dict[str, float]:
         "embedding_lsh_topk",
         "text_quality",
         "er_neardup_decisions",
+        "er_full_cascade",
+        "ngram_jaccard_pairs",
     ]
     qs = em.queries()
     out: dict[str, float] = {}

@@ -66,18 +66,26 @@ def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[st
     Executed as explode(array_distinct(...)) → groupBy count: one narrow
     shuffle whose key space is bounded by the char-trigram vocabulary
     (≲ 40^3 entries), so the resulting map broadcasts at any data scale.
+    ONE pass: a per-row marker token rides the same explode, so n_docs comes
+    out of the same aggregation instead of a second scan of the registry.
     """
-    n_docs = registry_names.count()
+    marker = "\x00DOC\x00"  # \x00 cannot appear in an n-gram of a real name
+    grams = F.coalesce(
+        F.array_distinct(ngrams_udf(F.col(name_col))),
+        F.array().cast("array<string>"),
+    )
     rows = (
         registry_names.select(
-            F.explode(F.array_distinct(ngrams_udf(F.col(name_col)))).alias("ngram")
+            F.explode(F.concat(F.array(F.lit(marker)), grams)).alias("ngram")
         )
         .groupBy("ngram")
         .agg(F.count("*").alias("df"))
         .collect()
     )
+    counts = {r["ngram"]: r["df"] for r in rows}
+    n_docs = counts.pop(marker, 0)
     return {
-        r["ngram"]: math.log((1.0 + n_docs) / (1.0 + r["df"])) + 1.0 for r in rows
+        g: math.log((1.0 + n_docs) / (1.0 + df)) + 1.0 for g, df in counts.items()
     }
 
 

@@ -110,6 +110,7 @@ def chase_to_root(
     child_col: str = "child_id",
     parent_col: str = "parent_id",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Resolve each child to its ultimate ancestor by pointer doubling.
 
@@ -119,6 +120,13 @@ def chase_to_root(
     max_iter with the then-current pointer (the reference's loop would not
     terminate differently on a cycle; real merger data is acyclic).
 
+    Hybrid execution: a functional parent graph is O(|registry events|) —
+    thousands of rows even when the MENTION stream is 10^12 — so below
+    ``driver_threshold`` rows the chase runs as one collect + an O(n) Python
+    walk (the iterative join version costs ~2 Spark jobs per round, pure
+    overhead at this size). Above the threshold the O(log n)-round
+    pointer-doubling join loop runs distributed.
+
     Returns (child_id, root_id, depth) — depth = number of hops compressed.
     """
     p = (
@@ -127,6 +135,27 @@ def chase_to_root(
         .withColumn("depth", F.lit(1))
         .localCheckpoint()
     )
+    if p.count() <= driver_threshold:
+        from pyspark.sql import types as T
+
+        ptr = {r["child"]: r["ptr"] for r in p.collect()}
+        cap = 1 << min(max_iter, 30)
+        out_rows = []
+        for child, first in ptr.items():
+            cur, depth, seen = first, 1, {child}
+            while cur in ptr and cur not in seen and depth < cap:
+                seen.add(cur)
+                cur = ptr[cur]
+                depth += 1
+            out_rows.append((child, cur, depth))
+        schema = T.StructType(
+            [
+                T.StructField(child_col, p.schema["child"].dataType),
+                T.StructField("root_id", p.schema["ptr"].dataType),
+                T.StructField("depth", T.IntegerType()),
+            ]
+        )
+        return p.sparkSession.createDataFrame(out_rows, schema)
     for _ in range(max_iter):
         # doubling step: follow the CURRENT estimate through itself, so the
         # resolved chain length doubles every round (log₂ rounds total)

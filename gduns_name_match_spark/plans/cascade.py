@@ -274,27 +274,7 @@ def run_cascade(
     reg_names = reg_names.persist()
     all_names = reg_names.select("r_norm").distinct()
 
-    idf = build_idf(all_names, "r_norm")
-    probes = m.select("m_norm").distinct()
-    accepted = _accepted_pairs(
-        spark, probes, all_names, idf, threshold, "m_norm", "r_norm"
-    )
-    w1 = Window.partitionBy("m_norm", "tag").orderBy(
-        F.col("cos_dist").asc(), F.col("r_norm").asc()
-    )
-    best1 = (
-        accepted.join(reg_names, "r_norm")
-        .withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .select("m_norm", "tag", F.col("r_norm").alias("best_name"),
-                F.col("cos_dist").alias("best_dist"))
-        .localCheckpoint()
-    )
-
-    def tag_best(tag: str) -> DataFrame:
-        return best1.filter(F.col("tag") == tag).drop("tag")
-
-    # ---- PASS 2: candidate DNB targets vs DNB (mention-independent)
+    # DNB-target names (the second hop of every branch) — mention-INDEPENDENT
     target_frames = [
         cu.select(F.col("norm_name").alias("t_norm")) if cu is not None else None,
         cu_mna.select(F.col("parent_norm").alias("t_norm")) if cu_mna is not None else None,
@@ -307,22 +287,46 @@ def run_cascade(
         if tf is None:
             continue
         targets = tf if targets is None else targets.unionByName(tf)
-    targets = targets.filter(F.col("t_norm") != "").distinct()
-    dnb_names = dnb.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"])
-    accepted2 = _accepted_pairs(
-        spark, targets.withColumnRenamed("t_norm", "m_norm"), dnb_names,
-        idf, threshold, "m_norm", "r_norm",
+    targets = targets.filter(F.col("t_norm") != "").distinct().persist()
+
+    # BOTH passes in ONE scoring job: probes = mentions ∪ targets. The
+    # per-(probe, tag) argmin window serves pass 1 (mention → each registry's
+    # best) and pass 2 (target → best DNB name) from the same accepted set.
+    idf = build_idf(all_names, "r_norm")
+    probes = (
+        m.select("m_norm").distinct()
+        .union(targets.select(F.col("t_norm").alias("m_norm")))
+        .distinct()
     )
-    w2 = Window.partitionBy("m_norm").orderBy(F.col("cos_dist").asc(), F.col("r_norm").asc())
-    best2 = (
-        accepted2.withColumn("rk", F.row_number().over(w2))
+    accepted = _accepted_pairs(
+        spark, probes, all_names, idf, threshold, "m_norm", "r_norm"
+    )
+    w1 = Window.partitionBy("m_norm", "tag").orderBy(
+        F.col("cos_dist").asc(), F.col("r_norm").asc()
+    )
+    best_by_tag = (
+        accepted.join(reg_names, "r_norm")
+        .withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") == 1)
+        .select("m_norm", "tag", F.col("r_norm").alias("best_name"),
+                F.col("cos_dist").alias("best_dist"))
+        .localCheckpoint()
+    )
+    best1 = best_by_tag.join(m.select("m_norm").distinct(), "m_norm", "left_semi")
+
+    def tag_best(tag: str) -> DataFrame:
+        return best1.filter(F.col("tag") == tag).drop("tag")
+
+    best2 = (
+        best_by_tag.filter(F.col("tag") == "dnb")
+        .join(
+            targets.withColumnRenamed("t_norm", "m_norm"), "m_norm", "left_semi"
+        )
         .select(
             F.col("m_norm").alias("t_norm"),
-            F.col("r_norm").alias("dnb_name"),
-            F.col("cos_dist").alias("dnb_dist"),
+            F.col("best_name").alias("dnb_name"),
+            F.col("best_dist").alias("dnb_dist"),
         )
-        .localCheckpoint()
     )
 
     # ---- branch assembly (pure joins; a branch row exists iff the branch's

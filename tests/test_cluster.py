@@ -99,8 +99,31 @@ def test_chase_long_chain_log_rounds(spark):
     parents = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["child_id", "parent_id"]
     )
-    got = chase_to_root(parents, max_iter=10)  # 2^10 >> 200: doubling required
+    # driver_threshold=0 forces the distributed pointer-doubling path
+    got = chase_to_root(parents, max_iter=10, driver_threshold=0)
     assert got.filter(F.col("root_id") != n).count() == 0
+
+
+def test_chase_driver_fastpath_parity(spark):
+    """The small-graph driver walk must agree exactly with the distributed
+    pointer-doubling loop (roots AND depths)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        parent = i + rng.randint(1, 7)
+        rows.append((i, min(parent, 310)))
+    parents = spark.createDataFrame(rows, ["child_id", "parent_id"])
+    fast = {
+        (r["child_id"], r["root_id"], r["depth"])
+        for r in chase_to_root(parents).collect()
+    }
+    dist = {
+        (r["child_id"], r["root_id"], r["depth"])
+        for r in chase_to_root(parents, driver_threshold=0).collect()
+    }
+    assert fast == dist
 
 
 def test_event_chain_resolution(spark):
