@@ -391,6 +391,10 @@ def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):
         _register_idf(key, bc.value)
         lvals = left.fillna("").to_numpy()
         rvals = right.fillna("").to_numpy()
-        return pd.Series([_cosine_dist(a, b, key) for a, b in zip(lvals, rvals)])
+        # same grouped searchsorted/reduceat kernel as the pair scorer —
+        # the per-pair path allocates ~10 temporaries per call and stops
+        # scaling past ~8 workers
+        cos, _jw, _tsr = _score_batch(lvals, rvals, key)
+        return pd.Series(cos)
 
     return cosine_dist

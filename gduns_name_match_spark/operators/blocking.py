@@ -25,20 +25,62 @@ from pyspark.sql import functions as F
 from gduns_name_match_spark.functions.phonetic import metaphone_lite_col
 
 
+# strings at or beyond this length are prose/documents, not company names:
+# phonetic keys (all first-word-determined, <=6 chars) degenerate into
+# mega-blocks there, so long strings switch to LSH band keys instead
+LONG_NAME_THRESHOLD = 48
+_BAND_GRAM = 12   # char-gram width for the long-string band signatures
+
+
+def _long_band_keys(name):
+    """Two MinHash-style band signatures over the full overlapping char-12-
+    gram set, as ONE codegen'd regex pass: the grams come from
+    regexp_extract_all with a zero-width lookahead (an overlapping-window
+    extraction no loop or higher-order hash chain can match for cost), and
+    the two 'orderings' are lexicographic min and max. Content-defined, so a
+    single insertion shifts positions but not the extremes — near-identical
+    long texts collide unless the edit hits the extreme gram itself.
+
+    Deliberately NOT per-gram hashing: transform()/array_min over a hash
+    lambda runs interpreted outside whole-stage codegen (~5-10ms/row on
+    prose, and pathological when the array is both carried and exploded).
+    Lexicographic extremes have a vocabulary bias (the corpus's smallest
+    gram forms a larger block) — that is exactly what the hot-key salting
+    and max_block caps downstream are for."""
+    grams = F.regexp_extract_all(name, F.lit(f"(?=(.{{{_BAND_GRAM}}}))"), 1)
+    return [
+        F.concat(F.lit("gmin:"), F.array_min(grams)),
+        F.concat(F.lit("gmax:"), F.array_max(grams)),
+    ]
+
+
 def block_keys_col(norm_name_col, prefix_len: int = 4):
-    """array<string> of blocking keys for one normalized name (no Python)."""
+    """array<string> of blocking keys for one normalized name (no Python).
+
+    Length-adaptive: company-name-length strings get prefix + Soundex +
+    metaphone-lite (recall property-tested vs the cosine acceptor); strings
+    >= LONG_NAME_THRESHOLD (prose spans, document texts) get a longer prefix
+    plus _N_BANDS MinHash band keys — phonetic codes on prose put ~every doc
+    sharing a first word into one block, which salting can only spread, not
+    shrink."""
     name = F.coalesce(norm_name_col, F.lit(""))
     # three complementary keys; a consonant-skeleton 4th was measured ~98%
     # redundant with metaphone-lite and only inflated the pair join volume
-    keys = F.array(
+    short_keys = F.array(
         F.concat(F.lit("p:"), F.substring(name, 1, prefix_len)),
         F.concat(F.lit("s:"), F.soundex(name)),
         F.concat(F.lit("m:"), metaphone_lite_col(name)),
     )
+    long_keys = F.array(
+        F.concat(F.lit("P:"), F.substring(name, 1, 10)),
+        *_long_band_keys(name),
+    )
     # a too-short name yields degenerate keys; require the name itself be
-    # non-trivial, then dedupe ('p:' prefix may equal 'k:' skeleton etc.)
-    return F.when(F.length(name) >= 2, F.array_distinct(keys)).otherwise(
-        F.array().cast("array<string>")
+    # non-trivial, then dedupe ('p:' prefix may equal 'm:' code etc.)
+    return (
+        F.when(F.length(name) >= LONG_NAME_THRESHOLD, long_keys)
+        .when(F.length(name) >= 2, F.array_distinct(short_keys))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -80,6 +122,9 @@ def candidate_pairs(
     and tiny; if it ever exceeds the broadcastable bound we fall back to the
     dedup shuffle rather than lose pairs).
     """
+    # the registry side is scanned twice (key stats, then the join) — persist
+    # so the normalize+key expression chain runs once per registry row
+    registry_keyed = registry_keyed.persist()
     stats = (
         registry_keyed.groupBy(key_col)
         .agg(F.count("*").alias("reg_rows"))

@@ -429,6 +429,105 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- IVF-bucketed variant
+
+_IVF_CELLS = 8     # centroid count (training-free: the first C vectors)
+_IVF_NPROBE = 2    # cells searched per probe — the recall/cost dial
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: every vector is assigned to its nearest centroid's cell (one
+    broadcast cross-join against C centroids + an argmax window); a probe
+    searches its _IVF_NPROBE nearest cells only. Multi-probe makes recall a
+    DIAL (nprobe→C recovers exact search), unlike the sign-LSH variant whose
+    recall is fixed by the chosen dims.
+
+    Deterministic, training-free centroids (the first C vectors) keep the
+    operator oracle-testable; production would k-means the sample — the plan
+    shape (broadcast centroids → cell equi-join) is identical."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    cos_c = F.aggregate(
+        F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    ) / (
+        F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+        * F.sqrt(F.aggregate("cemb", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cos_c)
+        .withColumn("rnk", F.row_number().over(w_assign))
+    )
+    cells = assign.filter(F.col("rnk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probe_cells = assign.filter(
+        (F.col("vec_id") < 20) & (F.col("rnk") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
+    cand = probe_cells.join(cells, "cell").filter(
+        F.col("vec_id") != F.col("probe_id")
+    ).select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    p = e.select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"))
+    dot = F.aggregate(
+        F.zip_with("p_emb", "n_emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    scored = (
+        cand.join(F.broadcast(p), "probe_id")
+        .join(n, "neighbor_id")
+        .withColumn("cos", dot / (norm(F.col("p_emb")) * norm(F.col("n_emb"))))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_EMBEDDING_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {_IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                     cid ASC) AS rnk
+  FROM e, cent),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cid AS cell FROM assign
+  WHERE vec_id < 20 AND rnk <= {_IVF_NPROBE}),
+cand AS (
+  SELECT pc.probe_id, c.vec_id AS neighbor_id
+  FROM probe_cells pc JOIN cells c USING (cell)
+  WHERE c.vec_id <> pc.probe_id),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         list_cosine_similarity(p.emb, n.emb) AS cos
+  FROM cand
+  JOIN e p ON p.vec_id = cand.probe_id
+  JOIN e n ON n.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT probe_id, neighbor_id, round(cos, 4) AS cosine, cast(rn AS bigint) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 def _lsh_bucket_sql() -> str:
     parts = " || ".join(
         f"(CASE WHEN emb[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS
@@ -559,6 +658,7 @@ TRAINING_QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
+    "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "token_count_bpeish": (q_token_count_bpeish, SQL_TOKEN_COUNT_BPEISH),

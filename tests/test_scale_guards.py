@@ -101,3 +101,21 @@ def test_embedding_topk_broadcasts_probes(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # result sanity: 20 probes x 5 neighbors
     assert df.count() == 100
+
+
+def test_long_string_band_blocking(spark):
+    """Long (prose-length) strings must block on LSH band keys, never on the
+    first-word-determined phonetic codes; a mid-string edit must still
+    co-block the near-duplicate."""
+    from gduns_name_match_spark.operators.blocking import block_keys_col
+
+    base = "thequickbrownfoxjumpsoverthelazydogandkeepsrunningfarbeyondthefence" * 3
+    sub = base[:100] + "x" + base[101:]     # substitution mid-string
+    ins = base[:150] + "q" + base[150:]     # insertion shifts all positions
+    df = spark.createDataFrame([(base,), (sub,), (ins,), (base,)], "name string")
+    rows = [set(r["k"]) for r in df.select(block_keys_col(F.col("name")).alias("k")).collect()]
+    assert rows[0] == rows[3]                      # deterministic
+    assert rows[0] & rows[1], "substitution variant not co-blocked"
+    assert rows[0] & rows[2], "insertion variant not co-blocked"
+    for ks in rows:
+        assert all(not k.startswith(("s:", "m:", "p:")) for k in ks), ks
