@@ -151,6 +151,10 @@ def run_er_pipeline(spark) -> tuple[int, float, float]:
     n_decided = res.decisions.filter(F.col("gdun") > 0).count()
     dt = time.perf_counter() - t0
     assert n_decided > 0
+    # release the pipeline's persisted frames: at 400k docs the scored-pairs
+    # cache otherwise poisons every measurement that follows (r02 observed a
+    # 17x per-query inflation from exactly this)
+    spark.catalog.clearCache()
     return n_pairs, dt, n_pairs / dt
 
 
@@ -194,6 +198,9 @@ def bench_once(cpus: int, with_queries: bool) -> dict:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         _ = run_scoring_stage(spark, cpus)  # warm-up pass
         n_pairs, dt, pps = run_scoring_stage(spark, cpus)
+        # per-query timings run BEFORE the heavy e2e pipeline (whose persisted
+        # pair cache would otherwise inflate them)
+        queries = run_queries(spark) if with_queries else None
         e2e_pairs, e2e_dt, e2e_pps = run_er_pipeline(spark)
         result = {
             "cpus": cpus,
@@ -204,8 +211,8 @@ def bench_once(cpus: int, with_queries: bool) -> dict:
             "er_seconds": round(e2e_dt, 3),
             "e2e_pairs_per_sec": round(e2e_pps, 1),
         }
-        if with_queries:
-            result["queries"] = run_queries(spark)
+        if queries is not None:
+            result["queries"] = queries
         return result
     finally:
         spark.stop()
