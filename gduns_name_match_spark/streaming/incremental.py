@@ -46,6 +46,91 @@ def incremental_match_batch(
     return spark.read.parquet(decisions_sink_path)
 
 
+def streaming_dedup_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup: emit each doc_id at most once within the
+    watermark horizon (dropDuplicatesWithinWatermark — state-store-backed,
+    watermark-evicted, so state is bounded at any stream length; plain
+    dropDuplicates would keep every key forever). The streaming twin of
+    operators/training.q_dedup_exact for a live ingest pipeline.
+    """
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp, text string")
+        .parquet(docs_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_running_user_totals(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running per-user (event count, value sum) carried in the state store
+    across micro-batches AND across restarts (the checkpoint holds the
+    state) — the shape any bespoke streaming accumulator takes when the
+    built-in windowed aggregations can't express it.
+    """
+    import pandas as pd  # noqa: F401 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_dir)
+    )
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n_events long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # file sinks are append-only; update-mode rows land as a CHANGELOG via
+    # foreachBatch (latest row per user = current running total)
+    def _append_batch(batch_df, batch_id):  # noqa: ARG001
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     events_dir: str,

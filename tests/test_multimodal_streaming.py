@@ -107,3 +107,75 @@ def test_streaming_windowed_counts(spark, tmpdir):
     )
     assert joined.filter(F.col("n") != F.col("n_batch")).count() == 0
     assert joined.count() == emitted
+
+
+def test_streaming_dedup_documents(spark, tmpdir):
+    from gduns_name_match_spark.streaming.incremental import (
+        streaming_dedup_documents,
+    )
+
+    docs_dir = f"{tmpdir}/docs_in"
+    rows1 = [
+        ("d1", "2024-01-01 10:00:00", "alpha"),
+        ("d1", "2024-01-01 10:00:05", "alpha dup"),
+        ("d2", "2024-01-01 10:01:00", "beta"),
+    ]
+    spark.createDataFrame(rows1, "doc_id string, ts string, text string").select(
+        "doc_id", F.col("ts").cast("timestamp").alias("ts"), "text"
+    ).write.mode("append").parquet(docs_dir)
+    q = streaming_dedup_documents(spark, docs_dir, f"{tmpdir}/dd_ckpt", f"{tmpdir}/dd_out")
+    q.awaitTermination(120)
+    # second micro-batch re-sends d2 and adds d3
+    rows2 = [
+        ("d2", "2024-01-01 10:02:00", "beta dup"),
+        ("d3", "2024-01-01 10:03:00", "gamma"),
+    ]
+    spark.createDataFrame(rows2, "doc_id string, ts string, text string").select(
+        "doc_id", F.col("ts").cast("timestamp").alias("ts"), "text"
+    ).write.mode("append").parquet(docs_dir)
+    q = streaming_dedup_documents(spark, docs_dir, f"{tmpdir}/dd_ckpt", f"{tmpdir}/dd_out")
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{tmpdir}/dd_out")
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == ["d1", "d2", "d3"]  # each id exactly once
+
+
+def test_streaming_running_user_totals(spark, tmpdir):
+    from gduns_name_match_spark.streaming.incremental import (
+        streaming_running_user_totals,
+    )
+
+    ev_dir = f"{tmpdir}/ev_in"
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, "
+                  "value double, props string"
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).write.mode("append").parquet(ev_dir)
+
+    write_events([
+        (1, "2024-01-01 10:00:00", 7, "a", 1.5, ""),
+        (2, "2024-01-01 10:01:00", 7, "b", 2.5, ""),
+        (3, "2024-01-01 10:02:00", 9, "a", 10.0, ""),
+    ])
+    q = streaming_running_user_totals(spark, ev_dir, f"{tmpdir}/st_ckpt", f"{tmpdir}/st_out")
+    q.awaitTermination(180)
+    # restart with more events: state must carry across the restart
+    write_events([(4, "2024-01-01 10:05:00", 7, "c", 4.0, "")])
+    q = streaming_running_user_totals(spark, ev_dir, f"{tmpdir}/st_ckpt", f"{tmpdir}/st_out")
+    q.awaitTermination(180)
+    out = spark.read.parquet(f"{tmpdir}/st_out")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.col("n_events").desc())
+    latest = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert latest[7] == (3, 8.0)   # 1.5 + 2.5 + 4.0 across a restart
+    assert latest[9] == (1, 10.0)
