@@ -6,7 +6,9 @@ a name pair is a candidate iff it shares at least one key. Key recall against
 the cosine<=0.2 acceptor is property-tested (tests/test_blocking.py).
 
 Scale design:
-* keys are pure Catalyst expressions (prefix + Soundex + metaphone-lite);
+* keys are pure Catalyst expressions — length-adaptive: prefix + Soundex +
+  metaphone-lite for company-name-length strings, prefix-10 + char-gram
+  band signatures for prose-length strings (see block_keys_col);
 * per-key frequencies are counted on the registry side; keys whose registry
   population exceeds ``hot_key_threshold`` are salted — the registry rows
   replicate across ``n_salt`` shards while each probe row draws one
@@ -60,9 +62,9 @@ def block_keys_col(norm_name_col, prefix_len: int = 4):
     Length-adaptive: company-name-length strings get prefix + Soundex +
     metaphone-lite (recall property-tested vs the cosine acceptor); strings
     >= LONG_NAME_THRESHOLD (prose spans, document texts) get a longer prefix
-    plus _N_BANDS MinHash band keys — phonetic codes on prose put ~every doc
-    sharing a first word into one block, which salting can only spread, not
-    shrink."""
+    plus two char-gram band signatures — phonetic codes on prose put ~every
+    doc sharing a first word into one block, which salting can only spread,
+    not shrink."""
     name = F.coalesce(norm_name_col, F.lit(""))
     # three complementary keys; a consonant-skeleton 4th was measured ~98%
     # redundant with metaphone-lite and only inflated the pair join volume

@@ -150,9 +150,12 @@ def _accepted_pairs(
         F.least(F.length(probe_col), F.length(name_col))
         >= 0.4 * F.greatest(F.length(probe_col), F.length(name_col))
     )
+    # partition BY probe: one exchange serves both the kernel (probe-sorted
+    # rows share the cached vector) and the per-probe argmin window
     scored = (
         pairs.filter(len_ok)
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism * 2, probe_col)
+        .sortWithinPartitions(probe_col)
         .withColumn(
             "cos_dist", scorer(F.col(probe_col), F.col(name_col)).getField("cos_dist")
         )

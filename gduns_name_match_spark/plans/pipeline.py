@@ -151,10 +151,16 @@ def match_documents(
     # stage onto a handful of cores — measured 0.30 scaling efficiency 8→32
     # without this, the pair data being only ~200 MB. CPU-bound pandas-UDF
     # stages must be sized by cores, not bytes.
+    # Partition BY m_norm (not round-robin): the argmin window downstream
+    # requires hashpartitioning(m_norm), so this one exchange serves both
+    # stages — and sorting within partitions makes consecutive kernel rows
+    # share the probe vector (L1-hot). Probe fan-out is bounded by the
+    # blocking caps, so per-probe grouping cannot skew a partition.
     scoring_partitions = spark.sparkContext.defaultParallelism * 2
     scored = (
         pairs.filter(len_ok)
-        .repartition(scoring_partitions)
+        .repartition(scoring_partitions, "m_norm")
+        .sortWithinPartitions("m_norm")
         .withColumn("s", scorer(F.col("m_norm"), F.col("r_norm")))
         .select(
             "m_norm",
