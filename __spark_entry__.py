@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["er_neardup_clusters"] = flagship.er_neardup_clusters
     out["er_mna_transitions"] = flagship.er_mna_transitions
     out["spnv_match_raw"] = flagship.spnv_match_raw
+    out["media_features"] = flagship.media_features
     return out
 
 

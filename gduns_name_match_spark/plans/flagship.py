@@ -160,6 +160,26 @@ def er_mna_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
     )
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Multimodal plumbing as a driver-visible entry: binary media payloads →
+    mapInPandas feature extraction (deterministic fake kernel; the decode
+    libs are absent in this sandbox, see sources/multimodal.py:27-32). The
+    feature vector is emitted comma-joined so the driver's pandas
+    canonicalizer can hash it."""
+    from gduns_name_match_spark.sources import multimodal as mm
+
+    feats = mm.extract_media_features(mm.synth_media(spark, n=256), fake=True)
+    return feats.select(
+        "media_ref",
+        "modality",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.round(x, 4).cast("string"))
+        ).alias("feature_csv"),
+        "n_bytes",
+        "digest",
+    )
+
+
 def spnv_match_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cascade output renamed into the reference's 42-column
     SPNV_MATCH_RAW insert shape (operators/compat.py)."""
