@@ -552,6 +552,61 @@ FROM ranked WHERE rn <= 3
 """
 
 
+# ---------------------------------------------- embedding-cosine near-dup
+
+_EMB_DUP_THRESHOLD = 0.99
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN):
+    candidates from the sign-LSH bucket equi-join — the blocking pattern, so
+    it shards at any corpus size — verified at cosine >= 0.99. The DuckDB
+    twin mirrors the same bucket definition, so recall is identical by
+    construction."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("emb", d + 1) >= 0, "1").otherwise("0")
+            for d in _LSH_DIMS
+        ]
+    )
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("bucket", bucket).withColumn("norm", norm)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cos") >= _EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,
+         {_lsh_bucket_sql()} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM e a JOIN e b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.emb, b.emb) >= {_EMB_DUP_THRESHOLD}
+"""
+
+
 # ------------------------------------------------------------- text analysis
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
@@ -657,6 +712,7 @@ TRAINING_QUERIES = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "token_count_bpeish": (q_token_count_bpeish, SQL_TOKEN_COUNT_BPEISH),

@@ -119,3 +119,22 @@ def test_long_string_band_blocking(spark):
     assert rows[0] & rows[2], "insertion variant not co-blocked"
     for ks in rows:
         assert all(not k.startswith(("s:", "m:", "p:")) for k in ks), ks
+
+
+def test_embedding_neardup_pairs_finds_planted_dups(spark, tmp_path):
+    """The driver table has no >=0.99-cosine pairs (random near-orthogonal
+    vectors), so its oracle row is 0=0; this plants real duplicates and
+    asserts the bucket-join operator finds exactly them."""
+    from gduns_name_match_spark.operators.training import q_embedding_neardup_pairs
+
+    base = [float(i % 7) - 3.0 for i in range(32)]
+    near = list(base); near[5] += 0.01          # same bucket, cos ~ 1
+    far = [(-1.0) ** i * (i % 5 + 1.0) for i in range(32)]
+    rows = [(0, base), (1, near), (2, base), (3, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_neardup_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
