@@ -127,6 +127,17 @@ def _tfidf_vector(name: str, idf_key: str):
 
 _EMPTY_VEC = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0.0)
 
+# prose-length strings produce ~700-gram vectors (≈11 KB each): caching them
+# costs GBs per worker at 32-way parallelism, while company names (the hot,
+# endlessly-repeated case) stay tiny — so only name-length vectors memoize
+_VEC_CACHE_MAX_LEN = 256
+
+
+def _vector_for(name: str, idf_key: str):
+    if len(name) <= _VEC_CACHE_MAX_LEN:
+        return _tfidf_vector(name, idf_key)
+    return _tfidf_vector.__wrapped__(name, idf_key)
+
 
 # Per-executor-process registry of IDF dicts, keyed by a driver-issued token,
 # so the lru_cache key stays a small hashable instead of the dict itself.
@@ -194,8 +205,8 @@ def _cosine_and_overlap(a: str, b: str, idf_key: str) -> tuple[float, float]:
     the binary-search merge avoids intersect1d's concatenate+argsort and its
     ~10 temporaries per call — allocation rate is what bounds 32-way scaling
     on a single socket."""
-    ha, wa, na = _tfidf_vector(a, idf_key)
-    hb, wb, nb = _tfidf_vector(b, idf_key)
+    ha, wa, na = _vector_for(a, idf_key)
+    hb, wb, nb = _vector_for(b, idf_key)
     if na == 0.0 or nb == 0.0:
         return 1.0, 0.0
     if len(ha) > len(hb):
@@ -339,12 +350,12 @@ def _score_batch(lvals: np.ndarray, rvals: np.ndarray, key: str):
             j += 1
         idxs = order[i:j]
         i = j
-        ha, wa, na = _tfidf_vector(probe, key)
+        ha, wa, na = _vector_for(probe, key)
         if na == 0.0:
             continue  # cos stays 1.0 for the whole group
         hb_list, wb_list, nb_arr, lens = [], [], [], []
         for k in idxs:
-            hb, wb, nb = _tfidf_vector(rvals[k], key)
+            hb, wb, nb = _vector_for(rvals[k], key)
             if nb == 0.0 or len(hb) == 0:
                 hb, wb, nb = _SENTINEL_H, _SENTINEL_W, 0.0
             hb_list.append(hb)

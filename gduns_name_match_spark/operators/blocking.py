@@ -106,6 +106,7 @@ def candidate_pairs(
     key_col: str = "block_key",
     hot_key_threshold: int = 1_000,
     max_block: int = 100_000,
+    max_key_pairs: int = 50_000_000,
     n_salt: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Join probe rows to registry rows on shared block keys, salted for skew.
@@ -124,13 +125,27 @@ def candidate_pairs(
     and tiny; if it ever exceeds the broadcastable bound we fall back to the
     dedup shuffle rather than lose pairs).
     """
-    # the registry side is scanned twice (key stats, then the join) — persist
-    # so the normalize+key expression chain runs once per registry row
+    # both sides are scanned twice (key stats, then the join) — persist so
+    # the normalize+key expression chains run once per row
     registry_keyed = registry_keyed.persist()
+    probe_keyed = probe_keyed.persist()
+    # the drop guard is PAIR VOLUME, not row count: a key with 30k registry
+    # rows passes a row cap but meets 30k probes as ~10^9 join outputs —
+    # reg_rows × probe_rows is what actually explodes a reducer. Both aggs
+    # are map-side-combining counts, far cheaper than the join they protect.
+    probe_counts = probe_keyed.groupBy(key_col).agg(
+        F.count("*").alias("probe_rows")
+    )
     stats = (
         registry_keyed.groupBy(key_col)
         .agg(F.count("*").alias("reg_rows"))
-        .withColumn("is_dropped", F.col("reg_rows") > max_block)
+        .join(probe_counts, key_col, "left")
+        .withColumn("probe_rows", F.coalesce("probe_rows", F.lit(0)))
+        .withColumn(
+            "is_dropped",
+            (F.col("reg_rows") > max_block)
+            | (F.col("reg_rows") * F.col("probe_rows") > max_key_pairs),
+        )
         .withColumn("is_hot", (F.col("reg_rows") > hot_key_threshold) & ~F.col("is_dropped"))
         .persist()
     )

@@ -76,40 +76,44 @@ def er_fixture_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa
 
 
 def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-duplicate clusters over the testdata documents: the
-    accepted (cos<=0.2) mention↔registry matches induce mention↔mention
-    edges (shared best registry name), closed under large-star/small-star
-    connected components. Output: one row per doc with its cluster id and
-    cluster size."""
+    """Transitive near-duplicate clusters over the testdata documents.
+
+    Docs sharing a normalized text are exact duplicates (same node); the
+    accepted (cos<=0.2, self excluded) text↔text pairs from one blocking+
+    scoring pass are the near-dup edges, closed under large-star/small-star
+    connected components. Output: one row per doc with its cluster id
+    (the component's min normalized text — a real key, never a hashed one)
+    and cluster size in docs."""
+    from gduns_name_match_spark.functions.normalize import normalize_name_col
+    from gduns_name_match_spark.functions.similarity import build_idf
     from gduns_name_match_spark.operators.cluster import (
         attach_components,
         connected_components,
     )
+    from gduns_name_match_spark.operators.resolve import THRESHOLD
+    from gduns_name_match_spark.plans.cascade import _accepted_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans_docs = as_span_documents(docs)
-    registry = (
-        docs.select(F.col("text").cast("string").alias("company"))
-        .distinct()
-        .select(
-            # non-negative ids: the sentinel convention reserves gdun<=0
-            F.abs(F.xxhash64("company")).alias("duns_num"),
-            "company",
-            F.lit("").alias("city"),
-            F.lit("").alias("st"),
-            F.abs(F.xxhash64("company")).alias("gl_ult_dun"),
-        )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", normalize_name_col(F.col("text")).alias("t_norm")
+    ).persist()
+    texts = docs.select("t_norm").distinct().persist()
+    idf = build_idf(texts.withColumnRenamed("t_norm", "norm_name"), "norm_name")
+    accepted = _accepted_pairs(
+        spark,
+        texts.withColumnRenamed("t_norm", "m_norm"),
+        texts.withColumnRenamed("t_norm", "r_norm"),
+        idf, THRESHOLD, "m_norm", "r_norm",
     )
-    res = match_documents(spark, spans_docs, registry, n_salt=4)
-    matched = res.decisions.filter(F.col("gdun") > 0).select(
-        F.col("doc_id"), F.col("gdun").alias("anchor")
+    edges = accepted.filter(F.col("m_norm") < F.col("r_norm")).select(
+        F.col("m_norm").alias("src"), F.col("r_norm").alias("dst")
     )
-    edges = anchor_star_edges(matched)
     comp = connected_components(edges)
-    nodes = matched.select("doc_id").distinct()
-    out = attach_components(nodes, comp, "doc_id")
-    sizes = out.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return out.join(sizes, "component").select(
+    out = attach_components(
+        texts.withColumnRenamed("t_norm", "node"), comp, "node"
+    )
+    by_doc = docs.join(out, docs.t_norm == out.node).select("doc_id", "component")
+    sizes = by_doc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return by_doc.join(sizes, "component").select(
         "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
     )
 

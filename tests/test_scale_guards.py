@@ -138,3 +138,52 @@ def test_embedding_neardup_pairs_finds_planted_dups(spark, tmp_path):
         for r in q_embedding_neardup_pairs(spark, str(tmp_path)).collect()
     }
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_pair_volume_cap_drops_degenerate_key(spark):
+    """A key passing the row cap can still explode as pairs (30k reg rows x
+    30k probes ~ 10^9): the reg_rows*probe_rows guard must drop it (logged),
+    while pairs via other keys survive."""
+    from gduns_name_match_spark.operators.blocking import candidate_pairs
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    probes = spark.createDataFrame(
+        [(f"p{i}", "mega" if i else "rare", ["mega", "rare"] if not i else ["mega"])
+         for i in range(500)],
+        "m_norm string, block_key string, all_keys array<string>",
+    )
+    regs = spark.createDataFrame(
+        [(f"r{i}", "mega" if i else "rare", ["mega", "rare"] if not i else ["mega"])
+         for i in range(500)],
+        "r_norm string, block_key string, all_keys array<string>",
+    )
+    pairs, stats = candidate_pairs(
+        probes, regs, probe_id="m_norm", registry_id="r_norm",
+        max_key_pairs=10_000, n_salt=4,
+    )
+    srows = {r["block_key"]: r for r in stats.collect()}
+    assert srows["mega"]["is_dropped"]            # 500*500 > 10k → dropped
+    assert not srows["rare"]["is_dropped"]
+    got = pairs.select("m_norm", "r_norm").collect()
+    assert {(r["m_norm"], r["r_norm"]) for r in got} == {("p0", "r0")}
+
+
+def test_neardup_clusters_link_true_neardups(spark, tmp_path):
+    """Near-duplicates (not just exact copies) must land in one cluster:
+    round-1's anchor construction let every doc match ITSELF in the
+    distinct-text registry, so only exact dups ever clustered."""
+    from gduns_name_match_spark.plans.flagship import er_neardup_clusters
+
+    base = ("collateral filing statement for equipment inventory and proceeds "
+            "recorded under amendment schedule seven annex four")
+    near = base.replace("seven", "nine")          # one-word edit
+    far = "completely different unrelated text about gardening and tulips blooming"
+    rows = [("a", base, "en"), ("b", near, "en"), ("c", base, "en"), ("d", far, "en")]
+    spark.createDataFrame(rows, "doc_id string, text string, lang string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in er_neardup_clusters(spark, str(tmp_path)).collect()}
+    assert out["a"]["cluster_id"] == out["b"]["cluster_id"] == out["c"]["cluster_id"]
+    assert out["a"]["cluster_size"] == 3
+    assert out["d"]["cluster_id"] != out["a"]["cluster_id"]
+    assert out["d"]["cluster_size"] == 1
