@@ -331,7 +331,9 @@ _SENTINEL_H = np.array([-1], dtype=np.int64)
 _SENTINEL_W = np.array([0.0], dtype=np.float64)
 
 
-def _score_batch(lvals: np.ndarray, rvals: np.ndarray, key: str):
+def _score_batch(
+    lvals: np.ndarray, rvals: np.ndarray, key: str, compute_jw: bool = True
+):
     """Vectorized batch scoring: rows are grouped by probe name, each group
     scored with ONE searchsorted over the concatenated registry vectors and
     segment-reduced dots (np.add.reduceat) — per-pair numpy call overhead and
@@ -383,9 +385,12 @@ def _score_batch(lvals: np.ndarray, rvals: np.ndarray, key: str):
         tsr[idxs] = g_jac
     # JW is a diagnostic on plausible pairs only — computing it for
     # clearly-rejected candidates (cos > 0.5) would multiply the kernel cost
-    # for rows the 0.2 acceptor discards anyway
-    for k in np.nonzero(cos <= 0.5)[0]:
-        jw[k] = jaro_winkler(lvals[k], rvals[k])
+    # for rows the 0.2 acceptor discards anyway; cosine-only consumers (city/
+    # HQ tie-breaks, where most pairs in a matched group ARE close) skip the
+    # O(len^2) Python loop entirely via compute_jw=False
+    if compute_jw:
+        for k in np.nonzero(cos <= 0.5)[0]:
+            jw[k] = jaro_winkler(lvals[k], rvals[k])
     return cos, jw, tsr
 
 
@@ -404,8 +409,9 @@ def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):
         rvals = right.fillna("").to_numpy()
         # same grouped searchsorted/reduceat kernel as the pair scorer —
         # the per-pair path allocates ~10 temporaries per call and stops
-        # scaling past ~8 workers
-        cos, _jw, _tsr = _score_batch(lvals, rvals, key)
+        # scaling past ~8 workers; compute_jw=False because this consumer
+        # discards jw and tie-break groups are full of close (cos<=0.5) pairs
+        cos, _jw, _tsr = _score_batch(lvals, rvals, key, compute_jw=False)
         return pd.Series(cos)
 
     return cosine_dist

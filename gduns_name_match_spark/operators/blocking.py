@@ -33,6 +33,17 @@ from gduns_name_match_spark.functions.phonetic import metaphone_lite_col
 LONG_NAME_THRESHOLD = 48
 _BAND_GRAM = 12   # char-gram width for the long-string band signatures
 
+# Regime-overlap band: a hard cutover at LONG_NAME_THRESHOLD would give a
+# 47-char name and its 49-char near-duplicate DISJOINT key sets (p:/s:/m: vs
+# P:/gmin:/gmax:) — a silent recall cliff for edits that cross the length
+# boundary. Names inside [LO, HI) emit BOTH key sets, so any near-dup pair
+# whose lengths straddle the threshold still co-blocks. Width: an accepted
+# pair (cos<=0.2 on unnormalized tf-idf) cannot differ by more than ~35
+# chars of pure insertion (the extra grams alone push cosine similarity
+# below ~0.7), so one side of such a pair always lands in the band.
+REGIME_OVERLAP_LO = 36
+REGIME_OVERLAP_HI = 72
+
 
 def _long_band_keys(name):
     """Two MinHash-style band signatures over the full overlapping char-12-
@@ -68,20 +79,31 @@ def block_keys_col(norm_name_col, prefix_len: int = 4):
     name = F.coalesce(norm_name_col, F.lit(""))
     # three complementary keys; a consonant-skeleton 4th was measured ~98%
     # redundant with metaphone-lite and only inflated the pair join volume
-    short_keys = F.array(
-        F.concat(F.lit("p:"), F.substring(name, 1, prefix_len)),
-        F.concat(F.lit("s:"), F.soundex(name)),
-        F.concat(F.lit("m:"), metaphone_lite_col(name)),
+    short_keys = F.array_distinct(
+        F.array(
+            F.concat(F.lit("p:"), F.substring(name, 1, prefix_len)),
+            F.concat(F.lit("s:"), F.soundex(name)),
+            F.concat(F.lit("m:"), metaphone_lite_col(name)),
+        )
     )
-    long_keys = F.array(
-        F.concat(F.lit("P:"), F.substring(name, 1, 10)),
-        *_long_band_keys(name),
+    # array_distinct: a degenerate long string whose 12-grams are all equal
+    # makes gmin == gmax; duplicate keys would emit the same (row, key)
+    # twice and the ownership filter would pass every pair copy
+    long_keys = F.array_distinct(
+        F.array(
+            F.concat(F.lit("P:"), F.substring(name, 1, 10)),
+            *_long_band_keys(name),
+        )
     )
     # a too-short name yields degenerate keys; require the name itself be
     # non-trivial, then dedupe ('p:' prefix may equal 'm:' code etc.)
+    length = F.length(name)
     return (
-        F.when(F.length(name) >= LONG_NAME_THRESHOLD, long_keys)
-        .when(F.length(name) >= 2, F.array_distinct(short_keys))
+        F.when(length >= REGIME_OVERLAP_HI, long_keys)
+        .when(
+            length >= REGIME_OVERLAP_LO, F.array_union(short_keys, long_keys)
+        )
+        .when(length >= 2, short_keys)
         .otherwise(F.array().cast("array<string>"))
     )
 
@@ -196,4 +218,21 @@ def candidate_pairs(
             joined.drop(key_col, "salt", "_p_keys", "_r_keys")
             .dropDuplicates([probe_id, registry_id])
         )
+    # cache-lifecycle handle: the two keyed inputs stay persisted until the
+    # caller has materialized `pairs` (they back its lazy plan); callers MUST
+    # release_blocking_caches(stats) afterwards or a long-lived session
+    # accumulates three cached frames per invocation
+    stats._blocking_inputs = [probe_keyed, registry_keyed]
     return pairs, stats
+
+
+def release_blocking_caches(stats: DataFrame, include_stats: bool = True) -> None:
+    """Unpersist the frames ``candidate_pairs`` cached. Call once the pairs
+    output is materialized (persisted+counted, localCheckpointed, written);
+    releasing earlier silently recomputes the keyed sides instead of erroring.
+    ``include_stats=False`` keeps the key_stats frame cached when the caller
+    still needs it (e.g. to commit lineage counters with a checkpoint)."""
+    for f in getattr(stats, "_blocking_inputs", ()):
+        f.unpersist()
+    if include_stats:
+        stats.unpersist()

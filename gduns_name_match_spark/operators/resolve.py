@@ -70,12 +70,19 @@ def resolve_gdun(
     Output: one row per probe with (gdun, match_status, list_of_duns,
     n_gduns, best_name, best_dist, ...).
     """
+    # GL_ULT_NAM is optional registry metadata — when present it feeds the
+    # 'Multiple GDUNS found,{names}' FJ_GDUN_NAME composition in the SPNV
+    # compat view (reference automation_final2.py:486-526)
+    has_gnam = "gl_ult_nam" in registry.columns
     grp = registry.select(
         F.col("norm_name").alias("best_name"),
         F.col("norm_city").alias("g_city"),
         F.col("st").alias("g_state"),
         F.col("duns_num").alias("g_duns"),
         F.col("gl_ult_dun").alias("g_gdun"),
+        (F.col("gl_ult_nam") if has_gnam else F.lit(None)).cast("string").alias(
+            "g_gnam"
+        ),
     )
     joined = best.join(grp, "best_name")  # group fetch (J1)
 
@@ -119,7 +126,9 @@ def resolve_gdun(
         F.count_distinct(F.when(F.col("state_eq") == 1, F.col("g_gdun"))).alias(
             "n_gduns_state"
         ),
-        F.first(F.when(F.col("state_eq") == 1, F.col("g_gdun")), ignorenulls=True).alias(
+        # min (ignores nulls) — deterministic even if a future caller reads
+        # gdun_by_state when n_gduns_state > 1 (first() would be pick-any)
+        F.min(F.when(F.col("state_eq") == 1, F.col("g_gdun"))).alias(
             "gdun_by_state"
         ),
         F.min("hq_dist").alias("min_hq_dist"),
@@ -130,6 +139,17 @@ def resolve_gdun(
         F.first("g_gdun").alias("any_gdun"),
         F.slice(F.sort_array(F.collect_set("g_duns")), 1, LIST_OF_DUNS_CAP).alias(
             "list_of_duns"
+        ),
+        # audit-column feeds for the SPNV compat view (reference
+        # automation_final2.py:457-526): DUNS_COUNT, FJ_DUNS on a unique DUNS,
+        # and the capped gdun id/name lists behind 'Multiple GDUNS found,{x}'
+        F.count_distinct("g_duns").alias("n_duns"),
+        F.min("g_duns").alias("min_duns"),
+        F.slice(F.sort_array(F.collect_set("g_gdun")), 1, LIST_OF_DUNS_CAP).alias(
+            "list_of_gduns"
+        ),
+        F.slice(F.sort_array(F.collect_set("g_gnam")), 1, LIST_OF_DUNS_CAP).alias(
+            "list_of_gdun_names"
         ),
     )
 
@@ -179,6 +199,10 @@ def with_manual_fallback(
         F.lit(0).cast("long").alias("n_gduns"),
         F.lit(None).cast("double").alias("min_city_dist"),
         F.array().cast("array<long>").alias("list_of_duns"),
+        F.lit(0).cast("long").alias("n_duns"),
+        F.lit(None).cast("long").alias("min_duns"),
+        F.array().cast("array<long>").alias("list_of_gduns"),
+        F.array().cast("array<string>").alias("list_of_gdun_names"),
         F.lit(GDUN_MANUAL).cast("long").alias("gdun"),
         F.lit("manual").alias("match_status"),
     )

@@ -136,6 +136,7 @@ def mna_transitions(
         THRESHOLD,
         resolve_gdun,
     )
+    from gduns_name_match_spark.operators.blocking import release_blocking_caches
     from gduns_name_match_spark.plans.cascade import _accepted_pairs
 
     mentions = dual_resolution_mentions(mna_events).withColumn(
@@ -152,10 +153,12 @@ def mna_transitions(
         ["r_norm"]
     )
     idf = build_idf(dnb, "norm_name")
-    accepted = _accepted_pairs(
+    accepted, pair_stats = _accepted_pairs(
         spark, mentions.select("m_norm").distinct(), dnb_names, idf,
         THRESHOLD, "m_norm", "r_norm",
     )
+    accepted = accepted.localCheckpoint()
+    release_blocking_caches(pair_stats)
     w = Window.partitionBy("m_norm").orderBy(
         F.col("cos_dist").asc(), F.col("r_norm").asc()
     )

@@ -24,7 +24,11 @@ from gduns_name_match_spark.functions.similarity import (
     build_idf,
     make_pair_scorer,
 )
-from gduns_name_match_spark.operators.blocking import candidate_pairs, with_block_keys
+from gduns_name_match_spark.operators.blocking import (
+    candidate_pairs,
+    release_blocking_caches,
+    with_block_keys,
+)
 from gduns_name_match_spark.operators.resolve import (
     THRESHOLD,
     best_match_per_probe,
@@ -79,6 +83,14 @@ class MatchResult:
     pairs_scored: DataFrame   # every scored candidate pair (diagnostics)
     decisions: DataFrame      # one row per mention: gdun + match_status
     key_stats: DataFrame      # per-block-key registry population / drops
+    _caches: tuple = ()       # persisted frames this result still reads from
+
+    def release(self) -> None:
+        """Unpersist every frame match_documents cached. Call when done with
+        the result — long-lived sessions (incremental batches, benches)
+        otherwise accumulate cached registry/pair frames per invocation."""
+        for f in self._caches:
+            f.unpersist()
 
 
 def match_documents(
@@ -171,6 +183,10 @@ def match_documents(
         )
         .persist()  # reused by pairs_scored diagnostics AND the decision path
     )
+    # materialize the scored cache now (the heaviest stage runs exactly once),
+    # then drop the keyed blocking inputs — nothing downstream reads them
+    scored.count()
+    release_blocking_caches(key_stats, include_stats=False)
 
     best = best_match_per_probe(
         scored, probe_id="m_norm", threshold=threshold
@@ -186,5 +202,9 @@ def match_documents(
     decided_norm = with_manual_fallback(probes, decided_norm, probe_id="m_norm")
     decisions = mentions.join(decided_norm, "m_norm")
     return MatchResult(
-        mentions=mentions, pairs_scored=scored, decisions=decisions, key_stats=key_stats
+        mentions=mentions,
+        pairs_scored=scored,
+        decisions=decisions,
+        key_stats=key_stats,
+        _caches=(reg, scored, key_stats),
     )

@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence check through the JVM Hadoop FileSystem —
+    resolves hdfs://, s3a://, file: and bare local paths identically to the
+    reader that will consume the sink. Errors (bad credentials, unreachable
+    namenode) propagate: only a definite 'not there yet' may skip the
+    idempotency anti-join."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
+
+
 def incremental_match_batch(
     spark: SparkSession,
     new_documents: DataFrame,
@@ -33,13 +46,14 @@ def incremental_match_batch(
     DataFrame version of the reference's flag-column checkpointing."""
     from gduns_name_match_spark.plans.pipeline import match_documents
 
-    import os
-
     res = match_documents(spark, new_documents, registry, **match_kwargs)
     decisions = res.decisions
     # explicit existence check, NOT a bare except: a corrupt/unreadable sink
-    # must raise, or the anti-join silently skips and rows duplicate
-    if os.path.exists(decisions_sink_path):
+    # must raise, or the anti-join silently skips and rows duplicate.
+    # Hadoop FileSystem (not os.path.exists): the sink may be hdfs://, s3a://
+    # or a file: URI — a local-only check would return False there, skip the
+    # anti-join, and silently re-append duplicate decisions on every rerun.
+    if _sink_exists(spark, decisions_sink_path):
         existing = spark.read.parquet(decisions_sink_path).select("mention_id")
         decisions = decisions.join(existing, "mention_id", "left_anti")
     decisions.write.mode("append").parquet(decisions_sink_path)

@@ -62,6 +62,47 @@ def test_blocking_recall_covers_true_matches(spark):
     assert not missed, f"{len(missed)} true-match pairs not co-blocked: {missed[:5]}"
 
 
+def test_regime_overlap_no_recall_cliff_at_length_threshold(spark):
+    """Near-duplicates whose lengths straddle LONG_NAME_THRESHOLD must still
+    co-block: a hard short/long cutover once gave a 47-char name and its
+    49-char edit disjoint key sets (ADVICE r02). The overlap band emits BOTH
+    key sets around the boundary."""
+    from gduns_name_match_spark.operators.blocking import (
+        LONG_NAME_THRESHOLD,
+        REGIME_OVERLAP_HI,
+        REGIME_OVERLAP_LO,
+    )
+
+    base = "summitridgecommunitybankingandtrustco"  # grows below
+    cases = []
+    # pairs straddling every regime boundary: (len a, len b) around LO,
+    # LONG_NAME_THRESHOLD, and HI
+    for pivot in (REGIME_OVERLAP_LO, LONG_NAME_THRESHOLD, REGIME_OVERLAP_HI):
+        a = (base * 4)[: pivot - 1]
+        b = a + "xy"          # 2-char suffix insertion crosses the boundary
+        cases.append((a, b))
+        c = (base * 4)[: pivot + 3]
+        d = c[:10] + c[12:]   # 2-char deletion crosses back
+        cases.append((c, d))
+    df = spark.createDataFrame([(a, b) for a, b in cases], ["a", "b"])
+    rows = df.select(
+        "a", "b",
+        F.arrays_overlap(
+            block_keys_col(F.col("a")), block_keys_col(F.col("b"))
+        ).alias("co_blocked"),
+    ).collect()
+    not_cob = [(r["a"], r["b"]) for r in rows if not r["co_blocked"]]
+    assert not not_cob, f"recall cliff at regime boundary: {not_cob}"
+
+
+def test_degenerate_long_string_keys_distinct(spark):
+    """A >=48-char single-repeated-char string has gmin == gmax; duplicate
+    keys would emit the same pair multiple times through ownership."""
+    df = spark.createDataFrame([("a" * 80,)], ["norm"])
+    keys = df.select(block_keys_col(F.col("norm")).alias("k")).collect()[0]["k"]
+    assert len(keys) == len(set(keys)), keys
+
+
 def test_hot_key_salting_and_cap(spark):
     probe = spark.createDataFrame(
         [(f"p{i}", "aaaa") for i in range(50)], ["pid", "m_norm"]
