@@ -178,33 +178,78 @@ WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.5
 
 # ------------------------------------------------------------- MinHash + LSH
 
-N_BANDS = 4
+# b bands x r rows: P(two docs collide on one band) = J^r, P(candidate) =
+# 1 - (1 - J^r)^b — S-curve threshold (1/b)^(1/r) ≈ 0.35 for (8, 2).
+# r = 2 is the round-2 hardening: single-row bands have P(collision) = J, so
+# any low-diversity corpus (word-salad synthetics, boilerplate-heavy crawls
+# with pairwise J ~ 0.3) mega-blocks toward all-pairs candidates; squaring
+# J keeps those buckets sparse while J >= 0.5 pairs are still caught with
+# P >= 1-(1-0.25)^8 ≈ 0.90 (the verify step then makes survivors exact).
+# The 16 minhashes cost FOUR md5 calls per shingle (same as the old 4-band
+# single-row scheme): each 32-hex digest is sliced into four independent
+# 8-hex (32-bit) chunks — minhash j uses digest j//4, chunk j%4.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 2
+_N_MINHASH = MINHASH_BANDS * MINHASH_ROWS
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs: per band b, the doc signature is
-    min(md5(shingle || ':' || b)); docs colliding on any band key are
-    candidates, then verified with true Jaccard >= 0.5.
+def minhash_band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from (doc_id, shingle) rows: one groupBy on
+    doc_id computing all 16 chunk-mins map-side, then a posexplode into the
+    8 per-band keys (each the ':'-join of its 2 row minhashes).
 
     md5-based minhash keeps the signature engine-portable AND deterministic —
     the same property that makes it resumable at 100 TB (re-running a band
     never changes its buckets)."""
-    sh = _doc_shingles(spark, sf_dir)
-    bands = sh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
-        "shingle",
+    hashed = sh.select(
+        "doc_id",
+        *[
+            (
+                F.md5("shingle")
+                if k == 0
+                else F.md5(F.concat_ws(":", "shingle", F.lit(str(k))))
+            ).alias(f"h{k}")
+            for k in range(_N_MINHASH // 4)
+        ],
     )
-    sig = bands.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", "shingle", "band"))).alias("band_key")
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{j // 4}", 1 + 8 * (j % 4), 8)).alias(f"m{j}")
+            for j in range(_N_MINHASH)
+        ]
     )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[F.col(f"m{i * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+            )
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs: docs colliding on ANY band."""
+    sig = minhash_band_signatures(sh)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: banded-signature candidates (see
+    minhash_band_signatures) verified with true Jaccard >= 0.5."""
+    sh = _doc_shingles(spark, sf_dir)
+    cand = minhash_candidates(sh)
     # verify Jaccard ONLY on LSH candidates — the whole point of banding is
     # to avoid the all-co-shingled-pairs intersection join (the DuckDB twin
     # computes it the naive way; the result set is identical)
@@ -229,12 +274,38 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _minhash_sig_sql() -> str:
+    """The DuckDB twin of minhash_band_signatures: same md5 digests, same
+    8-hex chunk slicing, same (band, key) layout — signatures are bytewise
+    identical across engines."""
+    hashes = ", ".join(
+        "md5(shingle) AS h0"
+        if k == 0
+        else f"md5(shingle || ':{k}') AS h{k}"
+        for k in range(_N_MINHASH // 4)
+    )
+    mins = ", ".join(
+        f"min(substring(h{j // 4}, {1 + 8 * (j % 4)}, 8)) AS m{j}"
+        for j in range(_N_MINHASH)
+    )
+    arms = " ".join(
+        f"WHEN {i} THEN "
+        + " || ':' || ".join(
+            f"m{i * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        )
+        for i in range(MINHASH_BANDS)
+    )
+    return f"""
+hashed AS (SELECT doc_id, {hashes} FROM shingles),
+mins AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, band, CASE band {arms} END AS band_key
+  FROM mins CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS band))"""
+
+
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
-sig AS (
-  SELECT doc_id, band, min(md5(shingle || ':' || band)) AS band_key
-  FROM shingles, (SELECT unnest(range({N_BANDS})) AS band)
-  GROUP BY doc_id, band),
+{_minhash_sig_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b USING (band, band_key)

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gduns_name_match_spark.plans.pipeline import match_documents
+from gduns_name_match_spark.functions.normalize import normalize_name_col as _norm
+from gduns_name_match_spark.plans.pipeline import (
+    extract_name_mentions,
+    match_documents,
+)
 from gduns_name_match_spark.sources import fixtures as fx
 
 DECISION_COLS = [
@@ -43,26 +47,97 @@ def as_span_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate document resolution as entity resolution: the registry
-    is the distinct-text set (deterministic ids via xxhash64), each document
-    is a one-span probe; exact and near duplicates resolve to the same id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans_docs = as_span_documents(docs)
-    registry = (
-        docs.select(F.col("text").cast("string").alias("company"))
-        .distinct()
+def _neardup_components(spark: SparkSession, texts: DataFrame) -> DataFrame:
+    """Shared near-dup core over a distinct normalized-text table ``texts``
+    (single column ``t_norm``): one blocking + Arrow-scoring pass of the
+    distinct texts against themselves, SELF-PAIRS EXCLUDED (with registry =
+    the corpus's own texts every probe matches itself at cos 0, so an argmin
+    without the exclusion is an identity map — the round-2 flagship trap),
+    then large-star/small-star connected components over the accepted
+    text↔text edges.
+
+    Returns one row per distinct text: (t_norm, component, best_name,
+    best_dist) where component is the cluster representative (min normalized
+    text in the component — a real key, never a hashed one), and best_name/
+    best_dist are the closest accepted NON-SELF neighbor (null for texts with
+    no near-duplicate)."""
+    from gduns_name_match_spark.functions.similarity import build_idf
+    from gduns_name_match_spark.operators.blocking import release_blocking_caches
+    from gduns_name_match_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+    from gduns_name_match_spark.operators.resolve import THRESHOLD
+    from gduns_name_match_spark.plans.cascade import _accepted_pairs
+    from pyspark.sql import Window
+
+    idf = build_idf(texts.withColumnRenamed("t_norm", "norm_name"), "norm_name")
+    accepted, pair_stats = _accepted_pairs(
+        spark,
+        texts.withColumnRenamed("t_norm", "m_norm"),
+        texts.withColumnRenamed("t_norm", "r_norm"),
+        idf, THRESHOLD, "m_norm", "r_norm",
+    )
+    nonself = accepted.filter(F.col("m_norm") != F.col("r_norm")).localCheckpoint()
+    release_blocking_caches(pair_stats)
+    edges = nonself.filter(F.col("m_norm") < F.col("r_norm")).select(
+        F.col("m_norm").alias("src"), F.col("r_norm").alias("dst")
+    )
+    comp = connected_components(edges)
+    with_comp = attach_components(
+        texts.withColumnRenamed("t_norm", "node"), comp, "node"
+    )
+    w = Window.partitionBy("m_norm").orderBy(
+        F.col("cos_dist").asc(), F.col("r_norm").asc()
+    )
+    best = (
+        nonself.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
         .select(
-            # non-negative ids: the sentinel convention reserves gdun<=0
-            F.abs(F.xxhash64("company")).alias("duns_num"),
-            "company",
-            F.lit("").alias("city"),
-            F.lit("").alias("st"),
-            F.abs(F.xxhash64("company")).alias("gl_ult_dun"),
+            F.col("m_norm").alias("node"),
+            F.col("r_norm").alias("best_name"),
+            F.col("cos_dist").alias("best_dist"),
         )
     )
-    res = match_documents(spark, spans_docs, registry, n_salt=4)
-    return res.decisions.select(*DECISION_COLS)
+    return with_comp.join(best, "node", "left").select(
+        F.col("node").alias("t_norm"), "component", "best_name", "best_dist"
+    )
+
+
+def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document resolution as entity resolution: every doc
+    resolves to its near-dup cluster representative — exact duplicates share
+    a normalized text (same node), near duplicates are linked by accepted
+    (cos<=0.2) non-self pairs closed under connected components, and both
+    end up with the same ``gdun`` (the component representative's id).
+
+    Decision columns keep the ER vocabulary: best_name/best_dist are the
+    closest non-self neighbor (diagnostic), gdun = abs(xxhash64(component
+    representative text)), match_status ∈ {'unique' (no near-dup neighbor),
+    'neardup_rep' (cluster representative), 'neardup_merged' (resolved to a
+    different representative)}."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mentions = extract_name_mentions(as_span_documents(docs)).withColumn(
+        "m_norm", _norm(F.col("raw_name"))
+    )
+    texts = mentions.select(F.col("m_norm").alias("t_norm")).distinct().persist()
+    resolved = _neardup_components(spark, texts)
+    out = mentions.join(
+        resolved, mentions.m_norm == resolved.t_norm
+    ).select(
+        "mention_id",
+        "doc_id",
+        "raw_name",
+        "best_name",
+        "best_dist",
+        # non-negative ids: the sentinel convention reserves gdun<=0
+        F.abs(F.xxhash64("component")).alias("gdun"),
+        F.when(F.col("best_name").isNull(), F.lit("unique"))
+        .when(F.col("m_norm") == F.col("component"), F.lit("neardup_rep"))
+        .otherwise(F.lit("neardup_merged"))
+        .alias("match_status"),
+    )
+    return out
 
 
 def er_fixture_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
@@ -84,34 +159,12 @@ def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components. Output: one row per doc with its cluster id
     (the component's min normalized text — a real key, never a hashed one)
     and cluster size in docs."""
-    from gduns_name_match_spark.functions.normalize import normalize_name_col
-    from gduns_name_match_spark.functions.similarity import build_idf
-    from gduns_name_match_spark.operators.cluster import (
-        attach_components,
-        connected_components,
-    )
-    from gduns_name_match_spark.operators.resolve import THRESHOLD
-    from gduns_name_match_spark.plans.cascade import _accepted_pairs
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", normalize_name_col(F.col("text")).alias("t_norm")
+        "doc_id", _norm(F.col("text")).alias("t_norm")
     ).persist()
     texts = docs.select("t_norm").distinct().persist()
-    idf = build_idf(texts.withColumnRenamed("t_norm", "norm_name"), "norm_name")
-    accepted = _accepted_pairs(
-        spark,
-        texts.withColumnRenamed("t_norm", "m_norm"),
-        texts.withColumnRenamed("t_norm", "r_norm"),
-        idf, THRESHOLD, "m_norm", "r_norm",
-    )
-    edges = accepted.filter(F.col("m_norm") < F.col("r_norm")).select(
-        F.col("m_norm").alias("src"), F.col("r_norm").alias("dst")
-    )
-    comp = connected_components(edges)
-    out = attach_components(
-        texts.withColumnRenamed("t_norm", "node"), comp, "node"
-    )
-    by_doc = docs.join(out, docs.t_norm == out.node).select("doc_id", "component")
+    out = _neardup_components(spark, texts)
+    by_doc = docs.join(out, "t_norm").select("doc_id", "component")
     sizes = by_doc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return by_doc.join(sizes, "component").select(
         "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
