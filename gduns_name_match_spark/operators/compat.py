@@ -3,9 +3,16 @@
 42-column insert schema so an output-level diff against a reference run is a
 plain dataframe compare.
 
-The engine keeps richer typed columns internally; diagnostics the Spark
-pipeline does not produce per-row (the reference's intermediate per-branch
-kneighbor distances) are emitted as typed NULLs, exactly like the
+Audit/diagnostic columns are populated from the cascade's pass-1 per-registry
+best distances and the DNB decision diagnostics (rename map
+automation_final2.py:1508-1521): ACTIVE_NAME_DISTANCE ← the FDIC-active tag,
+INACTIVE_TITLE_DISTANCE ← the events tag, CREDIT_UNION_*_DIST ← the cu tags,
+DNB_NAME/CITY_DISTANCE ← the final DNB hop, PARENT_NAME_DISTANCE ← the DNB
+hop when the branch resolved through a chained parent. DETAIL_INFO/COMMENTS/
+FJ_GDUN_NAME carry the reference's composed strings ('Multiple GDUNS
+found,{x}' :486-526, 'Data from DNB' :471, 'BANK Liquidates' :1162, …).
+Columns the Spark pipeline genuinely does not compute (per-branch CITY probes
+against FDIC rows, unique-id counters) remain typed NULLs, exactly like the
 reference's own ``temp.fillna('null')`` + NULL-literal inserts.
 """
 
@@ -53,6 +60,42 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
     ns = lambda: F.lit(None).cast("string")  # noqa: E731
     nd = lambda: F.lit(None).cast("double")  # noqa: E731
     nl = lambda: F.lit(None).cast("long")    # noqa: E731
+
+    # composed diagnostics (automation_final2.py:471,520,547,592,650,930):
+    # the 'Multiple GDUNS found,{z}' name list uses GL_ULT_NAMs when the
+    # registry carries them, else the gdun ids (same shape, ids-for-names)
+    multi_names = F.concat(
+        F.lit("Multiple GDUNS found,"),
+        F.when(F.col("list_of_gdun_names") != "", F.col("list_of_gdun_names"))
+        .otherwise(F.col("list_of_gduns")),
+    )
+    comments = (
+        F.when(F.col("match_status") == "matched_name",
+               F.lit("unique gdun for assigned duns name"))
+        .when(F.col("match_status").isin(
+            "matched_city_tiebreak", "matched_state_tiebreak"),
+            F.lit("Data from DNB"))
+        .when(F.col("match_status") == "matched_hq_tiebreak",
+              F.lit("Data from DNB using Headquaters"))
+        .when(F.col("match_status") == "multiple_gduns",
+              F.concat(F.lit("Multiple GDUNS found,"), F.col("list_of_gduns")))
+        .when(F.col("stage") == "cu_closed",
+              F.lit("Data from credit unions closed (unique id)"))
+        # reference sets Comments to the input name on Manual (:650-673)
+        .when(F.col("match_status") == "manual", F.col("m_norm"))
+        .otherwise(ns())
+    )
+    detail = (
+        F.when(F.col("stage") == "cu_closed", F.lit("credit union Liquidates"))
+        .when(F.col("stage") == "title_change_lq", F.lit("BANK Liquidates"))
+        .otherwise(ns())
+    )
+    gdun_name = (
+        F.when(F.col("match_status") == "multiple_gduns", multi_names)
+        .when(F.col("match_status") == "manual", F.lit("Manual"))
+        .otherwise(F.col("gdun_name"))
+    )
+
     return decisions.select(
         F.col("mention_id").alias("PERM_ID"),
         F.col("raw_name").alias("SEC_PARTY_CMN_NM"),
@@ -73,30 +116,35 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         .otherwise(ns())
         .alias("FINAL_FDIC_PARENT"),
         F.col("gdun").cast("long").alias("FJ_GDUN"),
-        ns().alias("FJ_GDUN_NAME"),
+        gdun_name.alias("FJ_GDUN_NAME"),
         F.col("match_ind").alias("MATCH_IND"),
         F.col("best_name").alias("FJ_DUN_NAME"),
-        nl().alias("FJ_DUNS"),
-        nl().alias("DUNS_COUNT"),
+        F.col("fj_duns").cast("long").alias("FJ_DUNS"),
+        F.col("duns_count").cast("long").alias("DUNS_COUNT"),
         src.alias("SOURCE"),
         nl().alias("DNB_UNIQUE_ID"),
         nl().alias("ACTIVE_UNIQUE_ID"),
         nl().alias("PARENT_UNIQUE_ID"),
-        nd().alias("ACTIVE_NAME_DISTANCE"),
+        F.col("active_name_dist").cast("double").alias("ACTIVE_NAME_DISTANCE"),
         nd().alias("ACTIVE_CITY_DISTANCE"),
-        nd().alias("INACTIVE_TITLE_DISTANCE"),
-        nd().alias("PARENT_NAME_DISTANCE"),
+        F.col("inactive_title_dist").cast("double").alias("INACTIVE_TITLE_DISTANCE"),
+        # the branch that resolves through a chained parent records its DNB
+        # hop as the parent-name distance (reference Parent_active_distance)
+        F.when(F.col("stage") == "title_change", F.col("best_dist"))
+        .otherwise(nd())
+        .cast("double")
+        .alias("PARENT_NAME_DISTANCE"),
         nd().alias("PARENT_CITY_DISTANCE"),
         F.col("best_dist").cast("double").alias("DNB_NAME_DISTANCE"),
-        nd().alias("DNB_CITY_DISTANCE"),
-        ns().alias("DETAIL_INFO"),
-        F.col("match_status").alias("COMMENTS"),
+        F.col("dnb_city_dist").cast("double").alias("DNB_CITY_DISTANCE"),
+        detail.alias("DETAIL_INFO"),
+        comments.alias("COMMENTS"),
         F.when(F.col("stage").isin("cu_active", "cu_mna"), F.col("best_name"))
         .otherwise(ns())
         .alias("CREDIT_UNION_PARENT"),
-        nd().alias("CREDIT_UNION_ACTIVE_DIST"),
-        nd().alias("CREDIT_UNION_CLOSED_DIST"),
-        nd().alias("CREDIT_UNION_MNA_DIST"),
+        F.col("cu_active_dist").cast("double").alias("CREDIT_UNION_ACTIVE_DIST"),
+        F.col("cu_closed_dist").cast("double").alias("CREDIT_UNION_CLOSED_DIST"),
+        F.col("cu_mna_dist").cast("double").alias("CREDIT_UNION_MNA_DIST"),
         nl().alias("TEMP1"),
         ns().alias("TEMP2"),
         F.col("list_of_duns").alias("LIST_OF_DUNS"),

@@ -61,7 +61,11 @@ from gduns_name_match_spark.functions.normalize import (
     normalize_name_col,
 )
 from gduns_name_match_spark.functions.similarity import build_idf, make_pair_scorer, make_cosine_udf
-from gduns_name_match_spark.operators.blocking import candidate_pairs, with_block_keys
+from gduns_name_match_spark.operators.blocking import (
+    candidate_pairs,
+    release_blocking_caches,
+    with_block_keys,
+)
 from gduns_name_match_spark.operators.cluster import chase_to_root
 from gduns_name_match_spark.operators.resolve import (
     GDUN_LIQUIDATED,
@@ -133,11 +137,13 @@ def _accepted_pairs(
     threshold: float,
     probe_col: str,
     name_col: str,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """One blocking + salted join + Arrow-batched scoring job; returns the
-    accepted (probe, name, cos_dist) pairs (dist <= threshold)."""
+    accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
+    key_stats handle — the caller must release_blocking_caches(stats) once
+    the accepted set is materialized."""
     scorer = make_pair_scorer(spark, idf)
-    pairs, _ = candidate_pairs(
+    pairs, stats = candidate_pairs(
         with_block_keys(probes, probe_col),
         with_block_keys(names, name_col),
         probe_id=probe_col,
@@ -160,7 +166,7 @@ def _accepted_pairs(
             "cos_dist", scorer(F.col(probe_col), F.col(name_col)).getField("cos_dist")
         )
     )
-    return scored.filter(F.col("cos_dist") <= threshold)
+    return scored.filter(F.col("cos_dist") <= threshold), stats
 
 
 def _norm_reg(df: DataFrame | None, name_col: str) -> DataFrame | None:
@@ -204,6 +210,8 @@ def run_cascade(
     dnb = regs.dnb.select(
         "duns_num",
         "gl_ult_dun",
+        # optional: feeds the 'Multiple GDUNS found,{names}' composition
+        *(["gl_ult_nam"] if "gl_ult_nam" in regs.dnb.columns else []),
         normalize_name_col(F.col("company")).alias("norm_name"),
         normalize_city_col(F.col("city")).alias("norm_city"),
         F.col("st"),
@@ -301,7 +309,7 @@ def run_cascade(
         .union(targets.select(F.col("t_norm").alias("m_norm")))
         .distinct()
     )
-    accepted = _accepted_pairs(
+    accepted, pair_stats = _accepted_pairs(
         spark, probes, all_names, idf, threshold, "m_norm", "r_norm"
     )
     w1 = Window.partitionBy("m_norm", "tag").orderBy(
@@ -315,7 +323,28 @@ def run_cascade(
                 F.col("cos_dist").alias("best_dist"))
         .localCheckpoint()
     )
+    # the checkpoint above materialized the accepted pairs — the blocking
+    # caches behind them are dead weight from here on
+    release_blocking_caches(pair_stats)
     best1 = best_by_tag.join(m.select("m_norm").distinct(), "m_norm", "left_semi")
+
+    # per-mention per-registry best distances, pivoted wide — these become the
+    # SPNV audit columns (ACTIVE_NAME_DISTANCE, INACTIVE_TITLE_DISTANCE,
+    # CREDIT_UNION_*_DIST; reference automation_final2.py:1508-1521). best1
+    # has at most one row per (m_norm, tag), so min() just extracts it.
+    _TAG_DIAG = {
+        "fdic": "active_name_dist",
+        "events": "inactive_title_dist",
+        "cu": "cu_active_dist",
+        "cu_mna": "cu_mna_dist",
+        "cu_closed": "cu_closed_dist",
+    }
+    diag = best1.groupBy("m_norm").agg(
+        *[
+            F.min(F.when(F.col("tag") == tag, F.col("best_dist"))).alias(col)
+            for tag, col in _TAG_DIAG.items()
+        ]
+    )
 
     def tag_best(tag: str) -> DataFrame:
         return best1.filter(F.col("tag") == tag).drop("tag")
@@ -466,7 +495,11 @@ def run_cascade(
         probe_city="m_city",
         probe_state="m_state",
         probe_hq="hq_city",
-    ).select("probe_key", "gdun", "match_status", "list_of_duns").localCheckpoint()
+    ).select(
+        "probe_key", "gdun", "match_status", "list_of_duns",
+        "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
+        "list_of_gdun_names",
+    ).localCheckpoint()
 
     resolved = (
         dnb_branches.withColumn(
@@ -479,6 +512,8 @@ def run_cascade(
             F.col("dnb_name").alias("best_name"),
             F.col("dnb_dist").alias("best_dist"),
             "list_of_duns",
+            "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
+            "list_of_gdun_names",
         )
     )
     for t in terminals:
@@ -489,6 +524,11 @@ def run_cascade(
                 F.lit("liquidated").alias("match_status"),
                 "best_name", "best_dist",
                 F.array().cast("array<long>").alias("list_of_duns"),
+                F.lit(None).cast("double").alias("min_city_dist"),
+                F.lit(0).cast("long").alias("n_duns"),
+                F.lit(None).cast("long").alias("min_duns"),
+                F.array().cast("array<long>").alias("list_of_gduns"),
+                F.array().cast("array<string>").alias("list_of_gdun_names"),
             )
         )
 
@@ -505,7 +545,7 @@ def run_cascade(
         .drop("rk")
     )
 
-    out = m.join(resolved, PROBE_KEYS, "left").select(
+    out = m.join(resolved, PROBE_KEYS, "left").join(diag, "m_norm", "left").select(
         "mention_id",
         "raw_name",
         "m_norm",
@@ -530,5 +570,40 @@ def run_cascade(
         .when(F.col("old_gdun") == F.coalesce("gdun", F.lit(GDUN_MANUAL)), "Y")
         .otherwise("N")
         .alias("match_ind"),
+        # audit columns for the SPNV compat view: the per-registry pass-1
+        # distances (NULL when that registry had no accepted match), the DNB
+        # decision's city-rung distance, and the matched group's DUNS/GDUN
+        # rollups (reference persists these for manual review,
+        # automation_final2.py:1508-1521)
+        F.col("active_name_dist"),
+        F.col("inactive_title_dist"),
+        F.col("cu_active_dist"),
+        F.col("cu_mna_dist"),
+        F.col("cu_closed_dist"),
+        F.col("min_city_dist").alias("dnb_city_dist"),
+        F.col("n_duns").alias("duns_count"),
+        # FJ_DUNS semantics: the DUNS itself when the matched group has
+        # exactly one, -1 when ambiguous (automation_final2.py:466-470)
+        F.when(F.col("n_duns") == 1, F.col("min_duns"))
+        .when(F.col("n_duns") > 1, F.lit(-1))
+        .cast("long")
+        .alias("fj_duns"),
+        F.concat_ws(
+            ",", F.coalesce("list_of_gduns", F.array().cast("array<long>"))
+        ).alias("list_of_gduns"),
+        F.concat_ws(
+            ",",
+            F.coalesce("list_of_gdun_names", F.array().cast("array<string>")),
+        ).alias("list_of_gdun_names"),
     )
+    # FJ_GDUN_NAME on success = the winning gdun's GL_ULT_NAM (reference sets
+    # gdun_name from the matched row, :455,:547): one broadcast join against
+    # the gdun→name dim (mention-independent, |distinct gl_ult_dun| rows)
+    if "gl_ult_nam" in dnb.columns:
+        gnames = dnb.groupBy(F.col("gl_ult_dun").alias("gdun")).agg(
+            F.min("gl_ult_nam").alias("gdun_name")
+        )
+        out = out.join(F.broadcast(gnames), "gdun", "left")
+    else:
+        out = out.withColumn("gdun_name", F.lit(None).cast("string"))
     return out

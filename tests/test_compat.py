@@ -41,6 +41,53 @@ def test_spnv_view_source_codes(small_cascade):
     assert view.count() == small_cascade.count()
 
 
+def test_spnv_audit_distances_populated(small_cascade):
+    """The audit columns must carry the cascade's real diagnostics, not typed
+    NULLs (VERDICT r02 missing #2): every FDIC-branch row has the pass-1
+    FDIC distance, every CU-branch row its CU distance, every DNB-decided row
+    the name distance, and the composed COMMENTS strings match the
+    reference's literals (automation_final2.py:471,520,547,592)."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+
+    view = to_spnv_match_raw(small_cascade).persist()
+    fdic = view.filter(F.col("SOURCE") == "FDIC")
+    assert fdic.count() > 0
+    assert fdic.filter(F.col("ACTIVE_NAME_DISTANCE").isNull()).count() == 0
+    cu = view.filter(F.col("SOURCE") == "CREDITUNION_ACTIVE")
+    if cu.count():
+        assert cu.filter(F.col("CREDIT_UNION_ACTIVE_DIST").isNull()).count() == 0
+    dnb_decided = view.filter(F.col("FJ_GDUN") > 0)
+    assert dnb_decided.count() > 0
+    assert dnb_decided.filter(F.col("DNB_NAME_DISTANCE").isNull()).count() == 0
+    # matched rows carry the winner's GL_ULT_NAM; DUNS_COUNT the group rollup
+    assert dnb_decided.filter(F.col("FJ_GDUN_NAME").isNull()).count() == 0
+    assert dnb_decided.filter(F.col("DUNS_COUNT") < 1).count() == 0
+    comments = {
+        r["COMMENTS"]
+        for r in view.select("COMMENTS").distinct().collect()
+        if r["COMMENTS"] is not None
+    }
+    known = {
+        "unique gdun for assigned duns name",
+        "Data from DNB",
+        "Data from DNB using Headquaters",
+        "Data from credit unions closed (unique id)",
+    }
+    composed = {c for c in comments if c.startswith("Multiple GDUNS found,")}
+    # everything else is the Manual rung's echoed input name (reference
+    # Comments=inp) — must equal the COMPRESSES_SEC_PARTY_NAME of its row
+    manual = view.filter(F.col("FJ_GDUN") == -1)
+    for r in manual.collect():
+        assert r["COMMENTS"] == r["COMPRESSES_SEC_PARTY_NAME"]
+        assert r["FJ_GDUN_NAME"] == "Manual"
+    manual_names = {r["COMMENTS"] for r in manual.collect()}
+    assert comments <= known | composed | manual_names
+    multi = view.filter(F.col("FJ_GDUN") == -67000)
+    for r in multi.collect():
+        assert r["COMMENTS"].startswith("Multiple GDUNS found,")
+        assert r["FJ_GDUN_NAME"].startswith("Multiple GDUNS found,")
+
+
 def test_mna_transitions(spark):
     from gduns_name_match_spark.plans.events import mna_transitions
 
