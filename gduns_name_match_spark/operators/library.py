@@ -559,6 +559,89 @@ RELATIONAL_QUERIES["transitive_root_chase"] = (
 )
 
 
+# Registry-refresh end-to-end (reference fdic_events.py:32-67,379-392):
+# base batch ∪ watermark-gated new batch → latest-event-wins effective
+# parents → ultimate root via pointer doubling → 'a+b' SOURCE trail along
+# the followed chain. Deterministic merger graph derived from events:
+# child = event_id % 250, parent = child - (event_id % 7 + 1) — two events
+# per child, so the latest-wins rule is actually exercised.
+def q_event_chain_trails(spark, sf_dir):
+    from gduns_name_match_spark.plans.events import (
+        current_watermark,
+        resolve_event_chains,
+        watermark_filter,
+    )
+
+    raw = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            (F.col("event_id") % 250).alias("fdic_id"),
+            ((F.col("event_id") % 250) - (F.col("event_id") % 7 + 1)).alias(
+                "parent_fdic_id"
+            ),
+            F.col("ts").alias("effdate"),
+            F.col("event_type").alias("source"),
+        )
+        .filter(F.col("parent_fdic_id") >= 0)
+    )
+    base = raw.filter(F.col("event_id") < 400).drop("event_id")
+    # refresh: only rows strictly newer than the base batch's watermark
+    fresh = watermark_filter(
+        raw.filter(F.col("event_id") >= 400).drop("event_id"),
+        current_watermark(base),
+    )
+    out = resolve_event_chains(base.unionByName(fresh))
+    return out.select(
+        F.col("fdic_id").cast("bigint").alias("fdic_id"),
+        F.col("parent_fdic_id").cast("bigint").alias("parent_fdic_id"),
+        F.col("root_id").cast("bigint").alias("root_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+        "source_trail",
+    )
+
+
+SQL_EVENT_CHAIN_TRAILS = """
+WITH RECURSIVE raw AS (
+  SELECT event_id, event_id % 250 AS fdic_id,
+         (event_id % 250) - (event_id % 7 + 1) AS parent_fdic_id,
+         ts AS effdate, event_type AS source
+  FROM events
+  WHERE event_id < 500 AND (event_id % 250) - (event_id % 7 + 1) >= 0),
+wm AS (SELECT max(effdate) AS w FROM raw WHERE event_id < 400),
+ev AS (
+  SELECT fdic_id, parent_fdic_id, effdate, source FROM raw WHERE event_id < 400
+  UNION ALL
+  SELECT fdic_id, parent_fdic_id, effdate, source FROM raw, wm
+  WHERE event_id >= 400 AND effdate > w),
+eff AS (
+  SELECT fdic_id AS child, arg_max(parent_fdic_id, effdate) AS parent,
+         arg_max(source, effdate) AS src
+  FROM ev GROUP BY fdic_id),
+walk AS (
+  SELECT child, parent AS cur, 1 AS depth, src AS trail FROM eff
+  UNION ALL
+  SELECT w.child, e.parent, w.depth + 1, w.trail || '+' || e.src
+  FROM walk w JOIN eff e ON w.cur = e.child),
+fin AS (
+  SELECT child, cur AS root_id, depth, trail,
+         row_number() OVER (PARTITION BY child ORDER BY depth DESC) AS rn
+  FROM walk)
+SELECT cast(ev.fdic_id AS bigint) AS fdic_id,
+       cast(ev.parent_fdic_id AS bigint) AS parent_fdic_id,
+       cast(f.root_id AS bigint) AS root_id,
+       cast(f.depth AS bigint) AS depth,
+       f.trail AS source_trail
+FROM ev JOIN fin f ON ev.fdic_id = f.child AND f.rn = 1
+"""
+
+RELATIONAL_QUERIES["event_chain_trails"] = (
+    q_event_chain_trails,
+    SQL_EVENT_CHAIN_TRAILS,
+)
+
+
 # F4/D2 — sentinel string construction + int casts (reference builds
 # 'Multiple GDUNS found,{n}' markers and comma-joined lists with np.int64
 # coercion, automation_final2.py:486-520,1531).

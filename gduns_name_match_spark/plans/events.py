@@ -38,13 +38,20 @@ def effective_parents(events: DataFrame) -> DataFrame:
     )
 
 
-def resolve_event_chains(events: DataFrame) -> DataFrame:
+def resolve_event_chains(events: DataFrame, max_trail_hops: int = 64) -> DataFrame:
     """Each event row → its ultimate parent + accumulated source trail.
 
     Output: (fdic_id, parent_fdic_id, root_id, depth, source_trail) where
     source_trail concatenates the SOURCE codes along the followed chain in
     hop order — mirroring the reference's 'a+b' accumulation
     (fdic_events.py:388).
+
+    ``max_trail_hops`` caps the per-hop trail-rebuild loop: root resolution
+    itself is O(log chain) via pointer doubling, but the trail is one join
+    per hop — a pathological 10k-link chain must not run 10k sequential
+    Spark jobs. Past the cap the trail is truncated (root_id/depth stay
+    exact) and a warning is logged; real merger chains are a handful of
+    hops deep.
     """
     parents = effective_parents(events)
     roots = chase_to_root(parents, "fdic_id", "parent_fdic_id")
@@ -55,6 +62,16 @@ def resolve_event_chains(events: DataFrame) -> DataFrame:
     # chains are short (depth ≤ log-bounded), so join per hop is bounded by
     # the max depth actually present
     max_depth = resolved.agg(F.max("depth")).collect()[0][0] or 1
+    if max_depth > max_trail_hops:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "resolve_event_chains: max chain depth %d exceeds the "
+            "max_trail_hops cap %d — source trails longer than the cap are "
+            "truncated (root_id and depth remain exact)",
+            max_depth, max_trail_hops,
+        )
+        max_depth = max_trail_hops
     # hop graph = the SAME effective (latest-wins) parents chase_to_root used,
     # not an arbitrary dropDuplicates pick — the trail must follow the
     # identical functional graph as root resolution
@@ -63,8 +80,14 @@ def resolve_event_chains(events: DataFrame) -> DataFrame:
         F.col("parent_fdic_id").alias("hop_parent"),
         F.col("source").alias("hop_source"),
     )
-    trail = resolved.select("fdic_id").withColumn("cur", F.col("fdic_id")).withColumn(
-        "trail", F.array().cast("array<string>")
+    # one walker per DISTINCT child — events carries one row per EVENT, and
+    # a non-distinct walker would re-join onto resolved at the end and emit
+    # (n_events × n_walkers) duplicate rows per child
+    trail = (
+        resolved.select("fdic_id")
+        .distinct()
+        .withColumn("cur", F.col("fdic_id"))
+        .withColumn("trail", F.array().cast("array<string>"))
     )
     for _ in range(int(max_depth)):
         trail = (

@@ -146,6 +146,44 @@ def test_event_chain_resolution(spark):
     assert out[7]["source_trail"] == "LQ"
 
 
+def test_event_chain_duplicate_events_no_row_blowup(spark):
+    """One output row per EVENT row: a child with several events must not be
+    multiplied by the trail join (pre-fix: n_events x n_walkers rows)."""
+    events = spark.createDataFrame(
+        [
+            (1, 2, "2019-03-01", "MNA"),
+            (1, 3, "2021-06-15", "TC"),   # later event overrides
+            (3, 4, "2022-01-01", "MNA"),
+        ],
+        ["fdic_id", "parent_fdic_id", "effdate", "source"],
+    )
+    rows = resolve_event_chains(events).collect()
+    assert len(rows) == 3
+    by_key = {(r["fdic_id"], r["parent_fdic_id"]): r for r in rows}
+    # effective parent of 1 is 3 (latest), so both of 1's event rows root at 4
+    assert by_key[(1, 2)]["root_id"] == 4
+    assert by_key[(1, 3)]["root_id"] == 4
+    assert by_key[(1, 2)]["source_trail"] == "TC+MNA"
+
+
+def test_trail_depth_cap_logs_and_completes(spark, caplog):
+    """A pathological deep chain must not run one Spark job per hop: the
+    trail loop caps at max_trail_hops (logged), while root_id/depth stay
+    exact via the O(log n) pointer doubling."""
+    import logging
+
+    n = 40
+    rows = [(i, i - 1, f"2020-01-{i % 28 + 1:02d}", "TC") for i in range(1, n)]
+    ev = spark.createDataFrame(
+        rows, "fdic_id long, parent_fdic_id long, effdate string, source string"
+    )
+    with caplog.at_level(logging.WARNING, logger="gduns_name_match_spark.plans.events"):
+        out = resolve_event_chains(ev, max_trail_hops=5).collect()
+    assert any("max_trail_hops" in r.message for r in caplog.records)
+    assert max(r["depth"] for r in out) == n - 1          # exact despite cap
+    assert max(len(r["source_trail"].split("+")) for r in out) == 5
+
+
 def test_effective_parent_latest_wins(spark):
     events = spark.createDataFrame(
         [(1, 2, "2019-01-01", "MNA"), (1, 5, "2022-01-01", "MNA")],
