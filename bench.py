@@ -159,7 +159,18 @@ def run_er_pipeline(spark) -> tuple[int, float, float]:
 
 
 def run_queries(spark) -> dict[str, float]:
-    """Representative operators timed on the driver's testdata tables."""
+    """Representative operators timed on the driver's testdata tables.
+
+    Per-query value is the MEDIAN of up to 3 repetitions (protocol note,
+    round 3): single shots on this VM carry up to 7x noise, which made the
+    r01→r02 sub-2s query comparisons meaningless. Repetition stops early
+    once a query has burned >30s cumulative, so the long ER entries stay
+    single-shot rather than tripling the round's bench wall. Reps 2-3 run
+    against session state warmed by rep 1, which is the point — the median
+    measures steady-state plan cost, not first-touch parquet-footer and
+    UDF-worker-spawn overheads that belong to the session, not the query."""
+    import statistics
+
     import __spark_entry__ as em
 
     names = [
@@ -180,9 +191,15 @@ def run_queries(spark) -> dict[str, float]:
     qs = em.queries()
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        reps: list[float] = []
+        budget = 30.0
+        while len(reps) < 3 and budget > 0:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            reps.append(dt)
+            budget -= dt
+        out[name] = round(statistics.median(reps), 3)
     return out
 
 

@@ -89,6 +89,48 @@ def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[st
     }
 
 
+def fit_idf_local(docs: list[str]) -> dict[str, float]:
+    """Smooth IDF over a small in-memory document list — the per-group re-fit
+    of the reference's city tie-break (TfidfVectorizer().fit(matc.CITY),
+    automation_final2.py:437-441): same formula as build_idf, computed
+    without a Spark job. df counts rows, duplicates included, exactly like a
+    fit on the group's city column."""
+    n = len(docs)
+    df_counts: dict[str, int] = {}
+    for d in docs:
+        for g in set(char_ngrams(d or "")):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    return {
+        g: math.log((1.0 + n) / (1.0 + df)) + 1.0 for g, df in df_counts.items()
+    }
+
+
+def cosine_dist_local(a: str, b: str, idf: dict[str, float]) -> float:
+    """Cosine distance under a given IDF table, pure Python — for per-group
+    re-fit batches (a handful of short city strings), where building numpy
+    vectors would cost more than the dot product saves. Same semantics as
+    the batched kernel: tf·idf accumulation, OOV grams dropped, empty
+    vectors at distance 1."""
+
+    def vec(s: str) -> dict[str, float]:
+        acc: dict[str, float] = {}
+        for g in char_ngrams(s or ""):
+            w = idf.get(g)
+            if w is not None:
+                acc[g] = acc.get(g, 0.0) + w
+        return acc
+
+    va, vb = vec(a), vec(b)
+    if not va or not vb:
+        return 1.0
+    dot = sum(w * vb[g] for g, w in va.items() if g in vb)
+    na = math.sqrt(sum(w * w for w in va.values()))
+    nb = math.sqrt(sum(w * w for w in vb.values()))
+    if dot == 0.0 or na == 0.0 or nb == 0.0:
+        return 1.0
+    return 1.0 - dot / (na * nb)
+
+
 def _gram_hash(g: str) -> int:
     """Stable 64-bit-ish id for an n-gram: crc32 composed with length+first
     char, collision-free in practice for the <=40^3 char-trigram vocabulary

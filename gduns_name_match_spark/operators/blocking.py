@@ -153,16 +153,21 @@ def candidate_pairs(
     probe_keyed = probe_keyed.persist()
     # the drop guard is PAIR VOLUME, not row count: a key with 30k registry
     # rows passes a row cap but meets 30k probes as ~10^9 join outputs —
-    # reg_rows × probe_rows is what actually explodes a reducer. Both aggs
-    # are map-side-combining counts, far cheaper than the join they protect.
-    probe_counts = probe_keyed.groupBy(key_col).agg(
-        F.count("*").alias("probe_rows")
+    # reg_rows × probe_rows is what actually explodes a reducer. Both sides'
+    # per-key counts come from ONE tagged-union agg (map-side combining):
+    # round 2 ran two aggs plus a join of their outputs — three exchanges
+    # where one suffices, pure fixed overhead on the e2e critical path.
+    tagged = registry_keyed.select(
+        key_col, F.lit(1).alias("_r"), F.lit(0).alias("_p")
+    ).unionByName(
+        probe_keyed.select(key_col, F.lit(0).alias("_r"), F.lit(1).alias("_p"))
     )
     stats = (
-        registry_keyed.groupBy(key_col)
-        .agg(F.count("*").alias("reg_rows"))
-        .join(probe_counts, key_col, "left")
-        .withColumn("probe_rows", F.coalesce("probe_rows", F.lit(0)))
+        tagged.groupBy(key_col)
+        .agg(F.sum("_r").alias("reg_rows"), F.sum("_p").alias("probe_rows"))
+        # probe-only keys can never produce a pair; round 2's registry-left
+        # join excluded them from the stats table — keep that contract
+        .filter(F.col("reg_rows") > 0)
         .withColumn(
             "is_dropped",
             (F.col("reg_rows") > max_block)

@@ -55,6 +55,57 @@ def best_match_per_probe(
     )
 
 
+def _with_group_refit_dists(
+    joined: DataFrame,
+    probe_id: str,
+    probe_city: str | None,
+    probe_hq: str | None,
+) -> DataFrame:
+    """city_dist / hq_dist via a PER-GROUP TF-IDF re-fit (the reference's
+    exact V5 semantics, automation_final2.py:437-441,687-691 and the HQ
+    probe :560-600): within each probe's matched-name group, fit a fresh
+    smooth-IDF on the group's own city column (duplicates included) and
+    score the probe/HQ city against each group city under those weights.
+
+    One applyInPandas keyed by the probe id — each group is the probe's
+    registry rows (bounded by the matched name's fan-out), and the fit is a
+    few short strings, so the kernel is trivially cheap; the shuffle it
+    introduces is the same hashpartitioning(probe_id) the decision agg right
+    after needs anyway."""
+    from pyspark.sql import types as T
+
+    from gduns_name_match_spark.functions.similarity import (
+        cosine_dist_local,
+        fit_idf_local,
+    )
+
+    out_schema = T.StructType(
+        joined.schema.fields
+        + [
+            T.StructField("city_dist", T.DoubleType()),
+            T.StructField("hq_dist", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def kernel(pdf):
+        cities = pdf["g_city"].fillna("").tolist()
+        idf = fit_idf_local(cities)
+        if probe_city is not None:
+            p = pdf[probe_city].iloc[0] or ""
+            pdf["city_dist"] = [cosine_dist_local(p, c, idf) for c in cities]
+        else:
+            pdf["city_dist"] = 1.0
+        hq = (pdf[probe_hq].iloc[0] or "") if probe_hq is not None else ""
+        if hq:
+            pdf["hq_dist"] = [cosine_dist_local(hq, c, idf) for c in cities]
+        else:
+            pdf["hq_dist"] = 1.0
+        return pdf[cols]
+
+    return joined.groupBy(probe_id).applyInPandas(kernel, out_schema)
+
+
 def resolve_gdun(
     best: DataFrame,
     registry: DataFrame,
@@ -63,12 +114,17 @@ def resolve_gdun(
     probe_city: str | None = "m_city",
     probe_state: str | None = "m_state",
     probe_hq: str | None = None,
+    group_refit: bool = False,
 ) -> DataFrame:
     """Decision cascade from best-name match to a GDUN or a sentinel status.
 
     ``registry`` must carry (norm_name, norm_city, st, duns_num, gl_ult_dun).
     Output: one row per probe with (gdun, match_status, list_of_duns,
     n_gduns, best_name, best_dist, ...).
+
+    ``group_refit=True`` scores the city/HQ rungs with a per-group TF-IDF
+    re-fit (reference-exact V5); the default scores them with the caller's
+    ``city_cosine_udf`` (registry-wide IDF — cheaper, one fitted model).
     """
     # GL_ULT_NAM is optional registry metadata — when present it feeds the
     # 'Multiple GDUNS found,{names}' FJ_GDUN_NAME composition in the SPNV
@@ -86,71 +142,103 @@ def resolve_gdun(
     )
     joined = best.join(grp, "best_name")  # group fetch (J1)
 
-    has_city = probe_city is not None and city_cosine_udf is not None
-    if has_city:
-        joined = joined.withColumn(
-            "city_dist", city_cosine_udf(F.col(probe_city), F.col("g_city"))
+    if group_refit and (probe_city is not None or probe_hq is not None):
+        joined = _with_group_refit_dists(joined, probe_id, probe_city, probe_hq)
+        state_eq = (
+            (F.col(probe_state) == F.col("g_state")).cast("int")
+            if probe_state is not None
+            else F.lit(0)
         )
+        joined = joined.withColumn("state_eq", state_eq)
     else:
-        joined = joined.withColumn("city_dist", F.lit(1.0))
+        has_city = probe_city is not None and city_cosine_udf is not None
+        if has_city:
+            joined = joined.withColumn(
+                "city_dist", city_cosine_udf(F.col(probe_city), F.col("g_city"))
+            )
+        else:
+            joined = joined.withColumn("city_dist", F.lit(1.0))
 
-    state_eq = (
-        (F.col(probe_state) == F.col("g_state")).cast("int")
-        if probe_state is not None
-        else F.lit(0)
-    )
-    joined = joined.withColumn("state_eq", state_eq)
+        state_eq = (
+            (F.col(probe_state) == F.col("g_state")).cast("int")
+            if probe_state is not None
+            else F.lit(0)
+        )
+        joined = joined.withColumn("state_eq", state_eq)
 
-    # HQ rung: '' means "no HQ known" (kept non-null so it can be a join key)
-    has_hq = probe_hq is not None and city_cosine_udf is not None
-    if has_hq:
-        joined = joined.withColumn(
-            "hq_dist",
-            F.when(F.col(probe_hq) == "", F.lit(1.0)).otherwise(
-                city_cosine_udf(F.col(probe_hq), F.col("g_city"))
+        # HQ rung: '' means "no HQ known" (non-null so it can be a join key)
+        has_hq = probe_hq is not None and city_cosine_udf is not None
+        if has_hq:
+            joined = joined.withColumn(
+                "hq_dist",
+                F.when(F.col(probe_hq) == "", F.lit(1.0)).otherwise(
+                    city_cosine_udf(F.col(probe_hq), F.col("g_city"))
+                ),
+            )
+        else:
+            joined = joined.withColumn("hq_dist", F.lit(1.0))
+
+    # ONE hash-aggregatable pass: every "how many distinct gduns pass rung X"
+    # is size(collect_set(...)) over a set the audit columns need anyway —
+    # count_distinct here would compile to an Expand (6x the agg's input rows,
+    # one copy per distinct grouping) plus SortAggregate chains. Set state is
+    # bounded: a group is one matched name's registry rows (<= max_block) and
+    # collect_set dedupes in the partial (map-side) aggregate.
+    agg = (
+        joined.groupBy(probe_id)
+        .agg(
+            # unique per probe (the fan-out copies one best row across the
+            # group), so min == the value; min keeps the agg hash-friendly
+            # and deterministic where first() is pick-any
+            F.min("best_name").alias("best_name"),
+            F.min("best_dist").alias("best_dist"),
+            F.sort_array(F.collect_set("g_gdun")).alias("_gduns"),
+            F.min("city_dist").alias("min_city_dist"),
+            # gdun among rows at the minimal city distance (if accepted)
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("city_dist") <= THRESHOLD, F.col("g_gdun"))
+                )
+            ).alias("_gduns_city_ok"),
+            F.min_by("g_gdun", F.struct("city_dist", "g_gdun")).alias(
+                "gdun_by_city"
             ),
+            F.sort_array(
+                F.collect_set(F.when(F.col("state_eq") == 1, F.col("g_gdun")))
+            ).alias("_gduns_state"),
+            F.min("hq_dist").alias("min_hq_dist"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("hq_dist") <= THRESHOLD, F.col("g_gdun"))
+                )
+            ).alias("_gduns_hq_ok"),
+            F.min_by("g_gdun", F.struct("hq_dist", "g_gdun")).alias("gdun_by_hq"),
+            # audit-column feeds for the SPNV compat view (reference
+            # automation_final2.py:457-526): DUNS_COUNT, FJ_DUNS on a unique
+            # DUNS, the capped id/name lists behind 'Multiple GDUNS found,{x}'
+            F.sort_array(F.collect_set("g_duns")).alias("_duns"),
+            F.slice(
+                F.sort_array(F.collect_set("g_gnam")), 1, LIST_OF_DUNS_CAP
+            ).alias("list_of_gdun_names"),
         )
-    else:
-        joined = joined.withColumn("hq_dist", F.lit(1.0))
-
-    agg = joined.groupBy(probe_id).agg(
-        F.first("best_name").alias("best_name"),
-        F.first("best_dist").alias("best_dist"),
-        F.count_distinct("g_gdun").alias("n_gduns"),
-        F.min("city_dist").alias("min_city_dist"),
-        # gdun among rows at the minimal city distance (if accepted)
-        F.count_distinct(
-            F.when(F.col("city_dist") <= THRESHOLD, F.col("g_gdun"))
-        ).alias("n_gduns_city_ok"),
-        F.min_by("g_gdun", F.struct("city_dist", "g_gdun")).alias("gdun_by_city"),
-        F.count_distinct(F.when(F.col("state_eq") == 1, F.col("g_gdun"))).alias(
-            "n_gduns_state"
-        ),
-        # min (ignores nulls) — deterministic even if a future caller reads
-        # gdun_by_state when n_gduns_state > 1 (first() would be pick-any)
-        F.min(F.when(F.col("state_eq") == 1, F.col("g_gdun"))).alias(
-            "gdun_by_state"
-        ),
-        F.min("hq_dist").alias("min_hq_dist"),
-        F.count_distinct(
-            F.when(F.col("hq_dist") <= THRESHOLD, F.col("g_gdun"))
-        ).alias("n_gduns_hq_ok"),
-        F.min_by("g_gdun", F.struct("hq_dist", "g_gdun")).alias("gdun_by_hq"),
-        F.first("g_gdun").alias("any_gdun"),
-        F.slice(F.sort_array(F.collect_set("g_duns")), 1, LIST_OF_DUNS_CAP).alias(
-            "list_of_duns"
-        ),
-        # audit-column feeds for the SPNV compat view (reference
-        # automation_final2.py:457-526): DUNS_COUNT, FJ_DUNS on a unique DUNS,
-        # and the capped gdun id/name lists behind 'Multiple GDUNS found,{x}'
-        F.count_distinct("g_duns").alias("n_duns"),
-        F.min("g_duns").alias("min_duns"),
-        F.slice(F.sort_array(F.collect_set("g_gdun")), 1, LIST_OF_DUNS_CAP).alias(
-            "list_of_gduns"
-        ),
-        F.slice(F.sort_array(F.collect_set("g_gnam")), 1, LIST_OF_DUNS_CAP).alias(
-            "list_of_gdun_names"
-        ),
+        .withColumns(
+            {
+                "n_gduns": F.size("_gduns").cast("long"),
+                "n_gduns_city_ok": F.size("_gduns_city_ok").cast("long"),
+                "n_gduns_state": F.size("_gduns_state").cast("long"),
+                # sorted-asc sets make head == min; F.get (not element_at):
+                # ANSI mode turns element_at on an empty set into a hard
+                # INVALID_ARRAY_INDEX error, F.get yields the NULL min() gave
+                "gdun_by_state": F.get("_gduns_state", 0),
+                "n_gduns_hq_ok": F.size("_gduns_hq_ok").cast("long"),
+                "any_gdun": F.get("_gduns", 0),
+                "list_of_duns": F.slice("_duns", 1, LIST_OF_DUNS_CAP),
+                "n_duns": F.size("_duns").cast("long"),
+                "min_duns": F.get("_duns", 0),
+                "list_of_gduns": F.slice("_gduns", 1, LIST_OF_DUNS_CAP),
+            }
+        )
+        .drop("_gduns", "_gduns_city_ok", "_gduns_state", "_gduns_hq_ok", "_duns")
     )
 
     # cascade: unique gdun → gdun; else city tie-break; else state; else -67000
@@ -187,23 +275,48 @@ def resolve_gdun(
     )
 
 
+# Non-null defaults of the reference's Manual routing (gdun_name='Manual',
+# gdun_final=-1, automation_final2.py:658-675); the remaining decision
+# columns (best_name, best_dist, min_city_dist, min_duns) are genuinely
+# unknown for an unmatched probe and stay NULL.
+def _manual_defaults() -> dict:
+    return {
+        "n_gduns": F.lit(0).cast("long"),
+        "n_duns": F.lit(0).cast("long"),
+        "list_of_duns": F.array().cast("array<long>"),
+        "list_of_gduns": F.array().cast("array<long>"),
+        "list_of_gdun_names": F.array().cast("array<string>"),
+        "gdun": F.lit(GDUN_MANUAL).cast("long"),
+        "match_status": F.lit("manual"),
+    }
+
+
+def fill_manual_defaults(joined: DataFrame) -> DataFrame:
+    """Null-fill the decision columns of a ``probes LEFT JOIN decided`` frame
+    to the Manual routing — the shuffle-free form of ``with_manual_fallback``
+    (no anti-join, no union; the left join the caller already needs does the
+    set difference for free)."""
+    return joined.withColumns(
+        {c: F.coalesce(F.col(c), d) for c, d in _manual_defaults().items()}
+    )
+
+
 def with_manual_fallback(
     probes: DataFrame, decided: DataFrame, probe_id: str = "mention_id"
 ) -> DataFrame:
     """Probes with no accepted match get the reference's Manual routing
-    (gdun_name='Manual', gdun_final=-1, automation_final2.py:658-675)."""
+    (gdun_name='Manual', gdun_final=-1, automation_final2.py:658-675).
+
+    Standalone anti-join + union form, for callers that need the completed
+    decision frame itself; when the very next step is a join back to the
+    probe/mention stream, prefer LEFT JOIN + ``fill_manual_defaults`` (saves
+    the anti-join shuffle)."""
     missing = probes.join(decided.select(probe_id), probe_id, "left_anti").select(
         probe_id,
         F.lit(None).cast("string").alias("best_name"),
         F.lit(None).cast("double").alias("best_dist"),
-        F.lit(0).cast("long").alias("n_gduns"),
         F.lit(None).cast("double").alias("min_city_dist"),
-        F.array().cast("array<long>").alias("list_of_duns"),
-        F.lit(0).cast("long").alias("n_duns"),
         F.lit(None).cast("long").alias("min_duns"),
-        F.array().cast("array<long>").alias("list_of_gduns"),
-        F.array().cast("array<string>").alias("list_of_gdun_names"),
-        F.lit(GDUN_MANUAL).cast("long").alias("gdun"),
-        F.lit("manual").alias("match_status"),
+        *[d.alias(c) for c, d in _manual_defaults().items()],
     )
     return decided.unionByName(missing)

@@ -37,14 +37,17 @@ Spark-first decomposition (replaces round 1's ~8 sequential match jobs):
 * OLD_GDUN self-audit: when mentions carry old_gdun, the output's match_ind
   is 'Y'/'N' vs the final gdun (reference automation_final2.py:472-479).
 
-Documented divergences: (1) per-group TF-IDF re-fits for city tie-breaks are
-replaced by the registry-wide city IDF (see operators/resolve.py); (2) the
-reference fits one vectorizer per registry — here a single engine-wide IDF
-over the union of registry names scores both passes (the 0.2 acceptor is
-insensitive to the re-weighting on non-degenerate vocabularies, asserted by
-the branch-parity tests); (3) the HQ city for an FDIC name with several
-certs is the deterministic min MAINOFF=1 city of that name (the reference
-picks the cert surviving its per-row city probe).
+City/HQ tie-breaks use the reference-exact per-group TF-IDF re-fit
+(resolve_gdun(group_refit=True) → one applyInPandas over each matched
+group; round 2's registry-wide-IDF approximation is closed).
+
+Documented divergences: (1) the reference fits one vectorizer per registry —
+here a single engine-wide IDF over the union of registry names scores both
+passes (the 0.2 acceptor is insensitive to the re-weighting on
+non-degenerate vocabularies, asserted by the branch-parity tests); (2) the
+HQ city for an FDIC name with several certs is the deterministic min
+MAINOFF=1 city of that name (the reference picks the cert surviving its
+per-row city probe).
 """
 
 from __future__ import annotations
@@ -60,7 +63,7 @@ from gduns_name_match_spark.functions.normalize import (
     normalize_city_col,
     normalize_name_col,
 )
-from gduns_name_match_spark.functions.similarity import build_idf, make_pair_scorer, make_cosine_udf
+from gduns_name_match_spark.functions.similarity import build_idf, make_pair_scorer
 from gduns_name_match_spark.operators.blocking import (
     candidate_pairs,
     release_blocking_caches,
@@ -472,7 +475,6 @@ def run_cascade(
     dnb_branches = dnb_branches.localCheckpoint()
 
     # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq)
-    city_cos = make_cosine_udf(spark, build_idf(dnb, "norm_city"))
     SEP = "\u0001"  # cannot appear in normalized (lowercase-alnum) values
     dec_in = (
         dnb_branches.select(
@@ -488,13 +490,16 @@ def run_cascade(
         )
         .withColumn("best_dist", F.lit(None).cast("double"))
     )
+    # group_refit: the city/HQ tie-break re-fits a fresh TF-IDF on each
+    # matched group's own cities (reference-exact V5 semantics) — and saves
+    # the registry-wide city-IDF build job the previous divergence needed
     decided = resolve_gdun(
         dec_in, dnb,
-        city_cosine_udf=city_cos,
         probe_id="probe_key",
         probe_city="m_city",
         probe_state="m_state",
         probe_hq="hq_city",
+        group_refit=True,
     ).select(
         "probe_key", "gdun", "match_status", "list_of_duns",
         "min_city_dist", "n_duns", "min_duns", "list_of_gduns",

@@ -6,7 +6,13 @@ decision → sentinel/manual statuses.
 
 Every stage is a DataFrame transformation; the only Python on the hot path is
 the batched pair scorer. The plan shuffles exactly where SURVEY.md §4.2 says
-it must: key-count agg, pair join, pair dedupe, argmin window, decision agg.
+it must — and nowhere else: ONE key-count agg (tagged union, map-side
+combining), the salted pair join, the scoring repartition (whose
+hashpartitioning(m_norm) the argmin window then reuses), and the decision
+agg. When the distinct-probe universe is small (measured, not assumed) the
+best-match and decision maps are broadcast, so the mention stream — the
+always-huge frame — is never shuffled at all; above the limit the same plan
+degrades to shuffle joins.
 """
 
 from __future__ import annotations
@@ -32,9 +38,17 @@ from gduns_name_match_spark.operators.blocking import (
 from gduns_name_match_spark.operators.resolve import (
     THRESHOLD,
     best_match_per_probe,
+    fill_manual_defaults,
     resolve_gdun,
-    with_manual_fallback,
 )
+
+# Decision frames at or under this many distinct probe names are broadcast
+# into the best-name group fetch and the final mention join (a ~100-300 B/row
+# map ⇒ ≤~300 MB — comfortably under the 8 GB broadcast ceiling and cheap to
+# ship to 1000 executors). Above it, the plan falls back to shuffle joins:
+# at 100 TB the distinct-name universe is in the billions and MUST shuffle —
+# the cutover is decided from a measured count, never assumed.
+BROADCAST_DECISIONS_LIMIT = 1_000_000
 
 
 def extract_name_mentions(documents: DataFrame) -> DataFrame:
@@ -134,7 +148,12 @@ def match_documents(
     # the same string cost one vectorization + one score. The per-mention
     # decision is a cheap equi-join at the end. (At 10^12 docs the distinct
     # name universe is orders of magnitude smaller than the mention stream.)
-    probes = mentions.select("m_norm").distinct()
+    # Persisted + counted up front: the count picks the physical join strategy
+    # for the whole decision tail (broadcast vs shuffle) and the persist means
+    # the extract+normalize+distinct chain runs once, not once per consumer.
+    probes = mentions.select("m_norm").distinct().persist()
+    n_probes = probes.count()
+    small_probe_universe = n_probes <= BROADCAST_DECISIONS_LIMIT
     m_keyed = with_block_keys(probes, "m_norm", prefix_len=prefix_len)
     r_keyed = with_block_keys(
         reg.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
@@ -195,16 +214,29 @@ def match_documents(
         F.col("r_norm").alias("best_name"),
         F.col("cos_dist").alias("best_dist"),
     )
+    # best has <= n_probes tiny rows: broadcasting it turns the group fetch
+    # (best x registry on best_name) into a map-side hash join — the registry
+    # keeps its scan partitioning instead of shuffling by name
+    if small_probe_universe:
+        best = F.broadcast(best)
     decided_norm = resolve_gdun(
         best, reg, city_cosine_udf=None, probe_id="m_norm",
         probe_city=None, probe_state=None,
     )
-    decided_norm = with_manual_fallback(probes, decided_norm, probe_id="m_norm")
-    decisions = mentions.join(decided_norm, "m_norm")
+    # Manual fallback is folded into the final join: mentions LEFT JOIN the
+    # per-name decisions, null-filled to the reference's Manual routing
+    # (gdun=-1, automation_final2.py:658-675). This replaces round 2's
+    # probes-anti-join + union (one full extra shuffle of the probe universe)
+    # with zero extra stages. When the decision map is small it is broadcast,
+    # so the mention stream — the one frame that is ALWAYS huge — flows
+    # through the whole pipeline without ever being shuffled.
+    if small_probe_universe:
+        decided_norm = F.broadcast(decided_norm)
+    decisions = fill_manual_defaults(mentions.join(decided_norm, "m_norm", "left"))
     return MatchResult(
         mentions=mentions,
         pairs_scored=scored,
         decisions=decisions,
         key_stats=key_stats,
-        _caches=(reg, scored, key_stats),
+        _caches=(reg, scored, key_stats, probes),
     )
