@@ -32,7 +32,8 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 # changes shape — round 1's per-round bench silently reused a stale /tmp
 # fixture from an earlier generator (1.36M pairs vs the 8.45M baseline
 # corpus), making rounds incomparable
-_FIXTURE_VERSION = "v2"
+_FIXTURE_VERSION = "v3"  # v3: array_distinct'd long keys (the v2 pairs
+# parquet carries ~4k duplicate pair copies from degenerate gmin==gmax keys)
 FIXTURE_DIR = Path(f"/tmp/gduns_bench_fixture_{_FIXTURE_VERSION}_{BENCH_DOCS}")
 
 
@@ -138,23 +139,30 @@ def run_scoring_stage(spark, cpus: int) -> tuple[int, float, float]:
 
 
 def run_er_pipeline(spark) -> tuple[int, float, float]:
-    """Full pipeline wall time (block→pair→score→resolve), for the record."""
+    """Full pipeline wall time (block→pair→score→resolve): best-of-3 full
+    re-runs — the e2e number was a single shot through round 2, which on this
+    VM carries up to 7x noise (BENCH.md) and made the e2e scaling efficiency
+    round-over-round comparison mostly weather."""
     from pyspark.sql import functions as F
 
     from gduns_name_match_spark.plans.pipeline import match_documents
 
     docs = spark.read.parquet(str(FIXTURE_DIR / "documents"))
     reg = spark.read.parquet(str(FIXTURE_DIR / "registry"))
-    t0 = time.perf_counter()
-    res = match_documents(spark, docs, reg)
-    n_pairs = res.pairs_scored.count()
-    n_decided = res.decisions.filter(F.col("gdun") > 0).count()
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = match_documents(spark, docs, reg)
+        n_pairs = res.pairs_scored.count()
+        n_decided = res.decisions.filter(F.col("gdun") > 0).count()
+        dt = min(dt, time.perf_counter() - t0)
+        # release the pipeline's persisted frames between reps and before
+        # returning: at 400k docs the scored-pairs cache otherwise poisons
+        # every measurement that follows (r02 observed a 17x per-query
+        # inflation from exactly this)
+        res.release()
+        spark.catalog.clearCache()
     assert n_decided > 0
-    # release the pipeline's persisted frames: at 400k docs the scored-pairs
-    # cache otherwise poisons every measurement that follows (r02 observed a
-    # 17x per-query inflation from exactly this)
-    spark.catalog.clearCache()
     return n_pairs, dt, n_pairs / dt
 
 
@@ -215,10 +223,13 @@ def bench_once(cpus: int, with_queries: bool) -> dict:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         _ = run_scoring_stage(spark, cpus)  # warm-up pass
         n_pairs, dt, pps = run_scoring_stage(spark, cpus)
-        # per-query timings run BEFORE the heavy e2e pipeline (whose persisted
-        # pair cache would otherwise inflate them)
-        queries = run_queries(spark) if with_queries else None
+        # e2e runs BEFORE the query sweep: in --scaling mode only the high
+        # level ran queries, so its e2e executed on ~2 min of heap churn the
+        # low level never saw — an asymmetry that systematically depressed
+        # the e2e efficiency number (r02/early-r03). e2e releases its caches,
+        # so the query timings that follow start clean.
         e2e_pairs, e2e_dt, e2e_pps = run_er_pipeline(spark)
+        queries = run_queries(spark) if with_queries else None
         result = {
             "cpus": cpus,
             "pairs_scored": n_pairs,

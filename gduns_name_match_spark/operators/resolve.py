@@ -26,7 +26,7 @@ DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 THRESHOLD = 0.2  # cosine distance acceptor, automation_final2.py:435
@@ -45,13 +45,24 @@ def best_match_per_probe(
     threshold: float = THRESHOLD,
 ) -> DataFrame:
     """Accept pairs under the threshold; keep the single best registry *name*
-    per probe (deterministic tie-break on the name string)."""
-    w = Window.partitionBy(probe_id).orderBy(F.col(dist_col).asc(), F.col(name_col).asc())
+    per probe (deterministic (dist asc, name asc) tie-break — struct min
+    compares fields left to right, the window's orderBy exactly).
+
+    One hash aggregate instead of a row_number window: no per-partition sort
+    of the scored pair stream, and the partial (map-side) aggregate shrinks
+    every partition to one row per probe before anything moves — on a stream
+    already hash-partitioned by probe it is sort-free and shuffle-free.
+    Returns (probe_id, name_col, dist_col)."""
+    best = F.min(F.struct(F.col(dist_col), F.col(name_col))).alias("_best")
     return (
         scored.filter(F.col(dist_col) <= threshold)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .drop("rank")
+        .groupBy(probe_id)
+        .agg(best)
+        .select(
+            probe_id,
+            F.col(f"_best.{name_col}").alias(name_col),
+            F.col(f"_best.{dist_col}").alias(dist_col),
+        )
     )
 
 
@@ -293,30 +304,10 @@ def _manual_defaults() -> dict:
 
 def fill_manual_defaults(joined: DataFrame) -> DataFrame:
     """Null-fill the decision columns of a ``probes LEFT JOIN decided`` frame
-    to the Manual routing — the shuffle-free form of ``with_manual_fallback``
-    (no anti-join, no union; the left join the caller already needs does the
-    set difference for free)."""
+    to the Manual routing. This replaced round 2's anti-join + union
+    fallback operator: the left join the caller already needs does the set
+    difference for free, so completing the decision space costs zero extra
+    stages."""
     return joined.withColumns(
         {c: F.coalesce(F.col(c), d) for c, d in _manual_defaults().items()}
     )
-
-
-def with_manual_fallback(
-    probes: DataFrame, decided: DataFrame, probe_id: str = "mention_id"
-) -> DataFrame:
-    """Probes with no accepted match get the reference's Manual routing
-    (gdun_name='Manual', gdun_final=-1, automation_final2.py:658-675).
-
-    Standalone anti-join + union form, for callers that need the completed
-    decision frame itself; when the very next step is a join back to the
-    probe/mention stream, prefer LEFT JOIN + ``fill_manual_defaults`` (saves
-    the anti-join shuffle)."""
-    missing = probes.join(decided.select(probe_id), probe_id, "left_anti").select(
-        probe_id,
-        F.lit(None).cast("string").alias("best_name"),
-        F.lit(None).cast("double").alias("best_dist"),
-        F.lit(None).cast("double").alias("min_city_dist"),
-        F.lit(None).cast("long").alias("min_duns"),
-        *[d.alias(c) for c, d in _manual_defaults().items()],
-    )
-    return decided.unionByName(missing)

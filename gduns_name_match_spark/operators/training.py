@@ -512,14 +512,22 @@ def q_embedding_ivf_topk(spark, sf_dir):
     recall is fixed by the chosen dims.
 
     Deterministic, training-free centroids (the first C vectors) keep the
-    operator oracle-testable; production would k-means the sample — the plan
-    shape (broadcast centroids → cell equi-join) is identical."""
+    operator oracle-testable; ``embedding_ivf_kmeans_topk`` is the trained
+    variant — the plan shape (broadcast centroids → cell equi-join) is
+    identical."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     cent = e.filter(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
+    return _ivf_topk_from_centroids(e, cent)
+
+
+def _ivf_topk_from_centroids(e, cent, n_probe=_IVF_NPROBE, k=3):
+    """Shared IVF search body: assign every vector to its best cell against
+    the (broadcast) centroid frame, search each probe's ``n_probe`` nearest
+    cells, exact-rescore the candidates, return top-``k`` per probe."""
     cos_c = F.aggregate(
         F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     ) / (
@@ -536,7 +544,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
     )
     cells = assign.filter(F.col("rnk") == 1).select("vec_id", F.col("cid").alias("cell"))
     probe_cells = assign.filter(
-        (F.col("vec_id") < 20) & (F.col("rnk") <= _IVF_NPROBE)
+        (F.col("vec_id") < 20) & (F.col("rnk") <= n_probe)
     ).select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
     cand = probe_cells.join(cells, "cell").filter(
         F.col("vec_id") != F.col("probe_id")
@@ -555,7 +563,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select(
             "probe_id",
             "neighbor_id",
@@ -563,6 +571,65 @@ def q_embedding_ivf_topk(spark, sf_dir):
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+_IVF_TRAIN_SAMPLE = 4096  # driver-side k-means sample cap (rows x dim doubles)
+
+
+def kmeans_centroids_spherical(vectors, c: int, iters: int = 10):
+    """Deterministic spherical k-means (Lloyd's) on a bounded sample.
+
+    Vectors are L2-normalized so assignment-by-dot == assignment-by-cosine;
+    each iteration recomputes a cell centroid as the renormalized mean of its
+    members (an empty cell keeps its previous centroid). Init is the first
+    ``c`` sample vectors — no RNG, so the trained operator is reproducible
+    run-to-run. The sample is capped (_IVF_TRAIN_SAMPLE): IVF training on a
+    sample is the standard recipe — centroid quality converges long before
+    the sample approaches the corpus, so the driver never holds more than
+    sample x dim doubles regardless of corpus size."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0.0, 1.0, norms)
+    C = X[:c].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        new_c = C.copy()
+        for j in range(c):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0.0:
+                    new_c[j] = m / n
+        if np.allclose(new_c, C):
+            break
+        C = new_c
+    return C
+
+
+def q_embedding_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with TRAINED centroids: spherical k-means on a deterministic
+    bounded sample replaces the training-free 'first C vectors' of
+    ``embedding_ivf_topk``. Trained centroids tile the data's actual density
+    — cells get comparable populations, so the same nprobe buys strictly
+    better recall (demonstrated on a planted-cluster fixture in
+    tests/test_operators_oracle.py). Search plan is byte-identical to the
+    oracle variant (broadcast centroids → cell equi-join → exact rescore);
+    rows-only driver entry — Lloyd's iterations have no SQL twin."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    sample = [
+        r["emb"] for r in e.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).collect()
+    ]
+    C = kmeans_centroids_spherical(sample, _IVF_CELLS)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cid long, cemb array<double>",
+    )
+    return _ivf_topk_from_centroids(e, cent)
 
 
 SQL_EMBEDDING_IVF_TOPK = f"""
@@ -783,6 +850,9 @@ TRAINING_QUERIES = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    # rows-only: Lloyd's-trained centroids have no SQL twin; the untrained
+    # entry above carries the oracle for the shared search plan
+    "embedding_ivf_kmeans_topk": (q_embedding_ivf_kmeans_topk, None),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),

@@ -8,8 +8,8 @@ Every stage is a DataFrame transformation; the only Python on the hot path is
 the batched pair scorer. The plan shuffles exactly where SURVEY.md §4.2 says
 it must — and nowhere else: ONE key-count agg (tagged union, map-side
 combining), the salted pair join, the scoring repartition (whose
-hashpartitioning(m_norm) the argmin window then reuses), and the decision
-agg. When the distinct-probe universe is small (measured, not assumed) the
+hashpartitioning(m_norm) the best-match aggregate then reuses), and the
+decision agg. When the distinct-probe universe is small (measured, not assumed) the
 best-match and decision maps are broadcast, so the mention stream — the
 always-huge frame — is never shuffled at all; above the limit the same plan
 degrades to shuffle joins.
@@ -115,6 +115,7 @@ def match_documents(
     prefix_len: int = 4,
     hot_key_threshold: int = 1_000,
     n_salt: int = 16,
+    broadcast_decisions: bool | None = None,
 ) -> MatchResult:
     """Flagship job: assign a GDUN (or sentinel) to every name span.
 
@@ -148,12 +149,10 @@ def match_documents(
     # the same string cost one vectorization + one score. The per-mention
     # decision is a cheap equi-join at the end. (At 10^12 docs the distinct
     # name universe is orders of magnitude smaller than the mention stream.)
-    # Persisted + counted up front: the count picks the physical join strategy
-    # for the whole decision tail (broadcast vs shuffle) and the persist means
-    # the extract+normalize+distinct chain runs once, not once per consumer.
+    # Persisted: the extract+normalize+distinct chain runs once, not once per
+    # consumer; counted later (from cache, once blocking has materialized it)
+    # to pick the decision tail's physical join strategy.
     probes = mentions.select("m_norm").distinct().persist()
-    n_probes = probes.count()
-    small_probe_universe = n_probes <= BROADCAST_DECISIONS_LIMIT
     m_keyed = with_block_keys(probes, "m_norm", prefix_len=prefix_len)
     r_keyed = with_block_keys(
         reg.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
@@ -182,10 +181,10 @@ def match_documents(
     # stage onto a handful of cores — measured 0.30 scaling efficiency 8→32
     # without this, the pair data being only ~200 MB. CPU-bound pandas-UDF
     # stages must be sized by cores, not bytes.
-    # Partition BY m_norm (not round-robin): the argmin window downstream
-    # requires hashpartitioning(m_norm), so this one exchange serves both
-    # stages — and sorting within partitions makes consecutive kernel rows
-    # share the probe vector (L1-hot). Probe fan-out is bounded by the
+    # Partition BY m_norm (not round-robin): the best-match aggregate
+    # downstream wants hashpartitioning(m_norm), so this one exchange serves
+    # both stages — and sorting within partitions makes consecutive kernel
+    # rows share the probe vector (L1-hot). Probe fan-out is bounded by the
     # blocking caps, so per-probe grouping cannot skew a partition.
     scoring_partitions = spark.sparkContext.defaultParallelism * 2
     scored = (
@@ -206,6 +205,13 @@ def match_documents(
     # then drop the keyed blocking inputs — nothing downstream reads them
     scored.count()
     release_blocking_caches(key_stats, include_stats=False)
+    # cached count (the blocking jobs populated the probes cache): decides
+    # broadcast vs shuffle for the decision tail from a measured size;
+    # broadcast_decisions forces the choice (None = auto)
+    if broadcast_decisions is None:
+        small_probe_universe = probes.count() <= BROADCAST_DECISIONS_LIMIT
+    else:
+        small_probe_universe = broadcast_decisions
 
     best = best_match_per_probe(
         scored, probe_id="m_norm", threshold=threshold

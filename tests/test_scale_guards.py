@@ -260,3 +260,72 @@ def test_flagship_entry_resolves_neardups(spark, tmp_path):
     assert out["d"]["best_name"] is None
     statuses = {out[k]["match_status"] for k in ("a", "b", "c")}
     assert statuses <= {"neardup_rep", "neardup_merged"} and "neardup_rep" in statuses
+
+
+def test_ivf_kmeans_centroids_beat_untrained_on_planted_clusters(spark, tmp_path):
+    """VERDICT r02 next-round #10: trained IVF centroids on planted clusters.
+
+    Fixture: 4 well-separated clusters in 16-dim space, with the FIRST 8
+    vec_ids (== the untrained variant's centroids) all drawn from cluster 0.
+    Untrained cells then tile only cluster 0's neighborhood and members of
+    different planted clusters get thrown together in shared cells — every
+    cross-cluster cell-mate is a candidate the exact rescore pays for but
+    that can never be a true neighbor. Spherical k-means on the same data
+    recovers the real cluster structure: every cell is cluster-PURE (the
+    optimal tiling here — a tight cluster of mutual neighbors cannot be
+    split without recall loss), while recall through the full Spark path
+    stays high."""
+    import numpy as np
+
+    from gduns_name_match_spark.operators.training import (
+        q_embedding_ivf_kmeans_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 400
+    basis = np.linalg.qr(rng.normal(size=(dim, 4)))[0].T  # 4 orthonormal means
+    cluster = np.array([0] * 8 + [(i % 4) for i in range(n - 8)])
+    X = basis[cluster] + rng.normal(scale=0.08, size=(n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # brute-force truth (float32 to match the parquet round-trip)
+    Xf = X.astype(np.float32).astype(np.float64)
+    Xf /= np.linalg.norm(Xf, axis=1, keepdims=True)
+    sims = Xf @ Xf.T
+    np.fill_diagonal(sims, -2.0)
+    truth = {p: set(np.argsort(-sims[p])[:3]) for p in range(20)}
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        hit = sum(len(got.get(p, set()) & truth[p]) for p in truth)
+        return hit / (3 * len(truth))
+
+    r_kmeans = recall(q_embedding_ivf_kmeans_topk(spark, str(tmp_path)))
+    assert r_kmeans >= 0.9, r_kmeans
+
+    # cell purity, computed with the operator's own training function: the
+    # untrained tiling mixes planted clusters in several cells; the trained
+    # tiling mixes none (wasted-candidate count drops to zero)
+    from gduns_name_match_spark.operators.training import (
+        kmeans_centroids_spherical,
+    )
+
+    def mixed_cells(C):
+        a = (Xf @ np.asarray(C).T).argmax(axis=1)
+        return sum(
+            1
+            for j in range(len(C))
+            if len(set(cluster[a == j].tolist())) > 1
+        )
+
+    n_mixed_untrained = mixed_cells(Xf[:8])
+    n_mixed_kmeans = mixed_cells(kmeans_centroids_spherical(Xf, 8))
+    assert n_mixed_kmeans == 0, n_mixed_kmeans
+    assert n_mixed_untrained > 0, n_mixed_untrained
