@@ -58,6 +58,25 @@ def ngrams_udf(names: pd.Series) -> pd.Series:
     return names.map(lambda s: char_ngrams(s if isinstance(s, str) else ""))
 
 
+def char_ngrams_col(name_col) -> Column:
+    """``char_ngrams`` as a pure Catalyst expression — identical output
+    (same strip, same 1/2/3-gram inventory, same order), zero Python.
+
+    One overlapping-window regexp_extract_all lookahead per n (codegen'd;
+    the round-2 measurement: HOF/lambda chains run interpreted, a zero-width
+    lookahead extraction does not). Used on the IDF hot path so building a
+    registry IDF costs no Python-worker round trip; ngrams_udf stays for
+    consumers that want the kernel-identical Python path."""
+    stripped = F.regexp_replace(
+        F.coalesce(name_col, F.lit("")), r"[,-./]|\sBD", ""
+    )
+    per_n = [
+        F.regexp_extract_all(stripped, F.lit(f"(?=({'.' * n}))"), 1)
+        for n in NGRAM_SIZES
+    ]
+    return F.concat(*per_n)
+
+
 def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[str, float]:
     """Smooth-IDF table over one registry's name column.
 
@@ -71,7 +90,7 @@ def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[st
     """
     marker = "\x00DOC\x00"  # \x00 cannot appear in an n-gram of a real name
     grams = F.coalesce(
-        F.array_distinct(ngrams_udf(F.col(name_col))),
+        F.array_distinct(char_ngrams_col(F.col(name_col))),
         F.array().cast("array<string>"),
     )
     rows = (

@@ -123,9 +123,21 @@ def match_documents(
     gl_ult_dun, ...) with cur_rec_ind='Y' rows (filter applied here, mirroring
     the reference's source SQL automation_final2.py:62-139).
     """
-    mentions = extract_name_mentions(documents).withColumn(
-        "m_norm", normalize_name_col(F.col("raw_name"))
+    mentions_raw = extract_name_mentions(documents)
+    # Normalize AFTER deduplicating raw names, never per mention: the
+    # normalize chain is ~20 regex/translate passes, and the mention stream
+    # repeats the same surface strings constantly (1.2M mentions → ~100k
+    # distinct raws in the bench corpus; worse at web scale). norm_map is
+    # one row per distinct raw name — everything name-shaped downstream
+    # derives from it, and the mention stream itself is never normalized.
+    norm_map = (
+        mentions_raw.select("raw_name")
+        .distinct()
+        .withColumn("m_norm", normalize_name_col(F.col("raw_name")))
+        .persist()
     )
+    # kept for API/checkpoint compat (lazy — only consumers pay for it)
+    mentions = mentions_raw.join(norm_map, "raw_name")
 
     reg = (
         registry.filter(F.col("cur_rec_ind") == "Y")
@@ -149,10 +161,9 @@ def match_documents(
     # the same string cost one vectorization + one score. The per-mention
     # decision is a cheap equi-join at the end. (At 10^12 docs the distinct
     # name universe is orders of magnitude smaller than the mention stream.)
-    # Persisted: the extract+normalize+distinct chain runs once, not once per
-    # consumer; counted later (from cache, once blocking has materialized it)
-    # to pick the decision tail's physical join strategy.
-    probes = mentions.select("m_norm").distinct().persist()
+    # Persisted: counted later (from cache, once blocking has materialized
+    # it) to pick the decision tail's physical join strategy.
+    probes = norm_map.select("m_norm").distinct().persist()
     m_keyed = with_block_keys(probes, "m_norm", prefix_len=prefix_len)
     r_keyed = with_block_keys(
         reg.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
@@ -230,19 +241,23 @@ def match_documents(
         probe_city=None, probe_state=None,
     )
     # Manual fallback is folded into the final join: mentions LEFT JOIN the
-    # per-name decisions, null-filled to the reference's Manual routing
+    # per-RAW-name decisions, null-filled to the reference's Manual routing
     # (gdun=-1, automation_final2.py:658-675). This replaces round 2's
     # probes-anti-join + union (one full extra shuffle of the probe universe)
-    # with zero extra stages. When the decision map is small it is broadcast,
-    # so the mention stream — the one frame that is ALWAYS huge — flows
-    # through the whole pipeline without ever being shuffled.
+    # with zero extra stages. Decisions are first attached to norm_map
+    # (small x small join on m_norm), so the mention stream is joined on the
+    # RAW string — it is never normalized and, when the decision map is
+    # small (measured), never shuffled either.
+    per_raw = norm_map.join(decided_norm, "m_norm", "left")
     if small_probe_universe:
-        decided_norm = F.broadcast(decided_norm)
-    decisions = fill_manual_defaults(mentions.join(decided_norm, "m_norm", "left"))
+        per_raw = F.broadcast(per_raw)
+    decisions = fill_manual_defaults(
+        mentions_raw.join(per_raw, "raw_name", "left")
+    )
     return MatchResult(
         mentions=mentions,
         pairs_scored=scored,
         decisions=decisions,
         key_stats=key_stats,
-        _caches=(reg, scored, key_stats, probes),
+        _caches=(reg, scored, key_stats, probes, norm_map),
     )

@@ -130,3 +130,26 @@ def test_pair_scorer_udf_end_to_end(spark):
     assert rows[0]["jw_sim"] > 0.9
     assert rows[1]["cos_dist"] > 0.5
     assert rows[1]["jw_sim"] == 0.0  # gated: not computed for far pairs
+
+def test_char_ngrams_col_parity(spark):
+    """The Catalyst n-gram expression must be byte-identical to the Python
+    kernel's char_ngrams (same strip regex, same 1/2/3-gram inventory and
+    order) — build_idf counts documents with it, so any divergence skews
+    every IDF weight."""
+    from pyspark.sql import functions as F
+
+    from gduns_name_match_spark.functions.similarity import (
+        char_ngrams,
+        char_ngrams_col,
+    )
+
+    names = [
+        "jpmorganchasebank", "a", "", "ab", "first national, bank-of./x",
+        "x BD y", None, "abc" * 30, "b.d-e/f,g", " BD",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select(
+        "name", char_ngrams_col(F.col("name")).alias("grams")
+    ).collect()
+    for r in rows:
+        assert list(r["grams"]) == char_ngrams(r["name"] or ""), r["name"]
