@@ -3,10 +3,10 @@
 entry(spark)  — flagship ER near-dup resolution on /root/testdata/sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2 + training
                 ops); each callable takes (spark, sf_dir) → DataFrame.
-oracle_sql()  — DuckDB-runnable ANSI-SQL twins (omitted for the two ER
-                pipeline entries, which are not SQL-expressible; the driver
-                records rows-only checks for those and the F1 gate lives in
-                tests/test_pipeline_f1.py).
+oracle_sql()  — DuckDB-runnable ANSI-SQL twins (omitted for the ER-pipeline
+                / trained-ANN / multimodal entries, which are not
+                SQL-expressible; the driver records rows-only checks for
+                those and the F1 gate lives in tests/test_pipeline_f1.py).
 """
 
 from __future__ import annotations

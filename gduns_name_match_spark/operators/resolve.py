@@ -100,6 +100,10 @@ def _with_group_refit_dists(
     cols = [f.name for f in out_schema.fields]
 
     def kernel(pdf):
+        if pdf.empty:
+            for c in ("city_dist", "hq_dist"):
+                pdf[c] = []
+            return pdf[cols]
         cities = pdf["g_city"].fillna("").tolist()
         idf = fit_idf_local(cities)
         if probe_city is not None:

@@ -841,8 +841,115 @@ FROM base
 """
 
 
+# ------------------------------------------------- corpus sampling/curation
+
+
+_SAMPLE_PER_LANG = 50  # stratified quota per language stratum
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: the md5 of the doc id orders each
+    language stratum pseudo-randomly but REPRODUCIBLY (identical across
+    engines, runs, and partitionings — no RNG, no seed plumbing), and a
+    per-stratum quota takes the first K. Rate sampling is the same key with
+    a hex-threshold filter instead of the quota. At 100 TB the argmin-K per
+    stratum is a map-side partial top-K, never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_PER_LANG)
+        .select("doc_id", "lang", "sample_key")
+    )
+
+
+SQL_CORPUS_SAMPLE_STRATIFIED = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, substring(md5(cast(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key, doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, lang, sample_key FROM ranked WHERE rn <= {_SAMPLE_PER_LANG}
+"""
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The composed curation pass a pre-training corpus actually runs:
+    quality scoring -> language gate -> exact dedup (canonical doc per
+    fingerprint) -> token accounting, as ONE DataFrame plan. Each component
+    is individually oracled (text_quality / langid_heuristic / dedup_exact /
+    token_count_bpeish); this entry proves they compose. Gates filter on the
+    UNROUNDED ratio (rounding only for display) so the Spark and DuckDB
+    sides threshold the same IEEE doubles."""
+    d = t(spark, sf_dir, "documents")
+    toks_e = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select(
+        "doc_id", "text", toks_e.alias("toks"), F.md5("text").alias("fp")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+    scored = base.withColumns(
+        {
+            "n_chars": F.length("text"),
+            "n_tokens": F.size("toks"),
+            "stop_ratio": n_stop / F.size("toks").cast("double"),
+            "bpe_tokens": F.aggregate(
+                "toks",
+                F.lit(0),
+                lambda a, x: a + F.ceil(F.length(x) / 4.0).cast("int"),
+            ).cast("bigint"),
+        }
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("dup_rank", F.row_number().over(w))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= 3)
+            & (F.col("stop_ratio") >= 0.05)  # the langid 'en' density gate
+            & (F.col("stop_ratio") < 0.9)
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "bpe_tokens",
+            F.round("stop_ratio", 4).alias("stopword_ratio"),
+        )
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS fp,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+scored AS (
+  SELECT doc_id, fp, length(text) AS n_chars, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN {tuple(_STOPWORDS)}))
+           / cast(len(toks) AS double) AS stop_ratio,
+         cast(list_sum(list_transform(toks,
+              x -> cast(ceil(length(x) / 4.0) AS int))) AS bigint) AS bpe_tokens,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+  FROM base)
+SELECT doc_id, n_chars, n_tokens, bpe_tokens,
+       round(stop_ratio, 4) AS stopword_ratio
+FROM scored
+WHERE dup_rank = 1 AND n_tokens >= 3 AND stop_ratio >= 0.05 AND stop_ratio < 0.9
+"""
+
+
 TRAINING_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "corpus_sample_stratified": (
+        q_corpus_sample_stratified,
+        SQL_CORPUS_SAMPLE_STRATIFIED,
+    ),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
