@@ -57,7 +57,56 @@ def incremental_match_batch(
         existing = spark.read.parquet(decisions_sink_path).select("mention_id")
         decisions = decisions.join(existing, "mention_id", "left_anti")
     decisions.write.mode("append").parquet(decisions_sink_path)
+    # the write materialized everything — drop the pipeline's persisted
+    # frames, or a long-running caller (the streaming wrapper runs this per
+    # micro-batch) accumulates cached registry/pair frames forever
+    res.release()
     return spark.read.parquet(decisions_sink_path)
+
+
+DOCUMENT_STREAM_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def streaming_match_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    registry: DataFrame,
+    checkpoint_dir: str,
+    decisions_sink_path: str,
+    **match_kwargs,
+):
+    """Streaming ER: a file-source stream of interleaved documents where
+    every micro-batch runs the FULL match pipeline (blocking → scoring →
+    resolve) and appends idempotently to the decisions sink — the live
+    ingest shape of the flagship job.
+
+    foreachBatch, not an in-stream operator chain: the pipeline is a
+    multi-job DAG (per-key stats, a measured broadcast decision, an eager
+    cache materialization) that cannot execute inside one streaming stage.
+    The streaming checkpoint tracks consumed source files (at-least-once on
+    failure); the sink-side mention_id anti-join inside
+    ``incremental_match_batch`` absorbs replays, so the composition is
+    effectively-once — the same two-layer contract the reference's
+    temp2-is-null resume gives its batch reruns (spnv_match_file.py:34).
+    The registry joins in as an ordinary static frame (stream-static join
+    happens per batch inside the pipeline)."""
+
+    def _match_batch(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if not batch_df.isEmpty():
+            incremental_match_batch(
+                spark, batch_df, registry, decisions_sink_path, **match_kwargs
+            )
+
+    stream = spark.readStream.schema(DOCUMENT_STREAM_SCHEMA).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(_match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def streaming_dedup_documents(

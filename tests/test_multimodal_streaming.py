@@ -179,3 +179,47 @@ def test_streaming_running_user_totals(spark, tmpdir):
     }
     assert latest[7] == (3, 8.0)   # 1.5 + 2.5 + 4.0 across a restart
     assert latest[9] == (1, 10.0)
+
+
+def test_streaming_match_documents(spark, tmpdir):
+    """The live-ingest ER shape: span-shaped documents arrive as files, each
+    micro-batch runs the full match pipeline via foreachBatch, and the sink
+    stays duplicate-free across batches AND across a checkpoint reset (the
+    replayed batch is absorbed by the sink anti-join — at-least-once source
+    x idempotent sink = effectively-once)."""
+    from gduns_name_match_spark.streaming.incremental import (
+        streaming_match_documents,
+    )
+
+    f1 = fx.generate(n_docs=30, seed=5)
+    f2 = fx.generate(n_docs=20, seed=6)
+    reg = fx.registry_df(spark, f1)
+    docs_dir = f"{tmpdir}/docs_stream"
+    sink = f"{tmpdir}/stream_decisions"
+
+    fx.documents_df(spark, f1).write.mode("append").parquet(docs_dir)
+    q = streaming_match_documents(
+        spark, docs_dir, reg, f"{tmpdir}/sm_ckpt", sink, n_salt=4
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+
+    # second batch of new files: only its own mentions append
+    fx.documents_df(spark, f2).write.mode("append").parquet(docs_dir)
+    q = streaming_match_documents(
+        spark, docs_dir, reg, f"{tmpdir}/sm_ckpt", sink, n_salt=4
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    n2 = out.count()
+    assert n2 > n1
+    assert out.select("mention_id").distinct().count() == n2
+
+    # fresh checkpoint = the WHOLE directory replays; the sink anti-join
+    # must absorb every already-decided mention
+    q = streaming_match_documents(
+        spark, docs_dir, reg, f"{tmpdir}/sm_ckpt_fresh", sink, n_salt=4
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(sink).count() == n2
