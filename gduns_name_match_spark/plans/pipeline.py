@@ -216,13 +216,16 @@ def match_documents(
     # then drop the keyed blocking inputs — nothing downstream reads them
     scored.count()
     release_blocking_caches(key_stats, include_stats=False)
-    # cached count (the blocking jobs populated the probes cache): decides
-    # broadcast vs shuffle for the decision tail from a measured size;
-    # broadcast_decisions forces the choice (None = auto)
+    # cached counts (the blocking jobs populated both caches): broadcast vs
+    # shuffle for the decision tail, each decided by the size of the frame
+    # that would actually ship — the best-match map is keyed by NORMALIZED
+    # name, the final decision map by RAW name (strictly more rows);
+    # broadcast_decisions forces both (None = auto)
     if broadcast_decisions is None:
         small_probe_universe = probes.count() <= BROADCAST_DECISIONS_LIMIT
+        small_raw_universe = norm_map.count() <= BROADCAST_DECISIONS_LIMIT
     else:
-        small_probe_universe = broadcast_decisions
+        small_probe_universe = small_raw_universe = broadcast_decisions
 
     best = best_match_per_probe(
         scored, probe_id="m_norm", threshold=threshold
@@ -249,7 +252,7 @@ def match_documents(
     # RAW string — it is never normalized and, when the decision map is
     # small (measured), never shuffled either.
     per_raw = norm_map.join(decided_norm, "m_norm", "left")
-    if small_probe_universe:
+    if small_raw_universe:
         per_raw = F.broadcast(per_raw)
     decisions = fill_manual_defaults(
         mentions_raw.join(per_raw, "raw_name", "left")
