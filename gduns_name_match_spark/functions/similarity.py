@@ -66,12 +66,19 @@ def char_ngrams_col(name_col) -> Column:
     the round-2 measurement: HOF/lambda chains run interpreted, a zero-width
     lookahead extraction does not). Used on the IDF hot path so building a
     registry IDF costs no Python-worker round trip; ngrams_udf stays for
-    consumers that want the kernel-identical Python path."""
+    consumers that want the kernel-identical Python path.
+
+    Java-vs-Python regex flags make the parity real on RAW text too, not
+    just normalized alnum strings: (?U) gives Java's \\s the Unicode
+    semantics Python's has (NBSP etc.), (?s) lets '.' cross newlines like
+    Python slicing does — without them a 'foo\\nbar' value would lose every
+    gram spanning the newline only on the Catalyst side, silently skewing
+    IDF weights against the Python-built vectors."""
     stripped = F.regexp_replace(
-        F.coalesce(name_col, F.lit("")), r"[,-./]|\sBD", ""
+        F.coalesce(name_col, F.lit("")), r"(?U)[,-./]|\sBD", ""
     )
     per_n = [
-        F.regexp_extract_all(stripped, F.lit(f"(?=({'.' * n}))"), 1)
+        F.regexp_extract_all(stripped, F.lit(f"(?s)(?=({'.' * n}))"), 1)
         for n in NGRAM_SIZES
     ]
     return F.concat(*per_n)

@@ -159,12 +159,6 @@ def resolve_gdun(
 
     if group_refit and (probe_city is not None or probe_hq is not None):
         joined = _with_group_refit_dists(joined, probe_id, probe_city, probe_hq)
-        state_eq = (
-            (F.col(probe_state) == F.col("g_state")).cast("int")
-            if probe_state is not None
-            else F.lit(0)
-        )
-        joined = joined.withColumn("state_eq", state_eq)
     else:
         has_city = probe_city is not None and city_cosine_udf is not None
         if has_city:
@@ -173,13 +167,6 @@ def resolve_gdun(
             )
         else:
             joined = joined.withColumn("city_dist", F.lit(1.0))
-
-        state_eq = (
-            (F.col(probe_state) == F.col("g_state")).cast("int")
-            if probe_state is not None
-            else F.lit(0)
-        )
-        joined = joined.withColumn("state_eq", state_eq)
 
         # HQ rung: '' means "no HQ known" (non-null so it can be a join key)
         has_hq = probe_hq is not None and city_cosine_udf is not None
@@ -192,6 +179,14 @@ def resolve_gdun(
             )
         else:
             joined = joined.withColumn("hq_dist", F.lit(1.0))
+
+    # the state rung is the same expression on either distance path
+    joined = joined.withColumn(
+        "state_eq",
+        (F.col(probe_state) == F.col("g_state")).cast("int")
+        if probe_state is not None
+        else F.lit(0),
+    )
 
     # ONE hash-aggregatable pass: every "how many distinct gduns pass rung X"
     # is size(collect_set(...)) over a set the audit columns need anyway —

@@ -757,14 +757,19 @@ def q_text_quality(spark, sf_dir):
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    # try_divide, not `/`: ANSI mode (Spark 4 default) turns the zero-token
+    # document — which every real crawl contains — into a job-killing
+    # DIVIDE_BY_ZERO; NULL ratios for empty docs match the DuckDB twin
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
-        F.round(n_stop / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(n_stop, F.size(toks)), 4).alias("stopword_ratio"),
         F.round(
-            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
-            / F.size(toks).cast("double"),
+            F.try_divide(
+                F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)),
+                F.size(toks).cast("double"),
+            ),
             4,
         ).alias("mean_token_len"),
     )
@@ -791,8 +796,11 @@ def q_langid_heuristic(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    density = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(
-        toks
+    # try_divide: an empty doc votes 'other' (NULL density fails the >=
+    # test) instead of killing the job under ANSI division semantics
+    density = F.try_divide(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))),
+        F.size(toks),
     )
     pred = F.when(density >= 0.05, "en").otherwise("other")
     return (
@@ -896,7 +904,10 @@ def q_corpus_curation(spark, sf_dir):
         {
             "n_chars": F.length("text"),
             "n_tokens": F.size("toks"),
-            "stop_ratio": n_stop / F.size("toks").cast("double"),
+            # try_divide: a zero-token doc gets a NULL ratio (then fails the
+            # n_tokens gate in both engines) instead of an ANSI
+            # DIVIDE_BY_ZERO abort — confirmed live on a whitespace-only doc
+            "stop_ratio": F.try_divide(n_stop, F.size("toks").cast("double")),
             "bpe_tokens": F.aggregate(
                 "toks",
                 F.lit(0),

@@ -42,13 +42,20 @@ from gduns_name_match_spark.operators.resolve import (
     resolve_gdun,
 )
 
-# Decision frames at or under this many distinct probe names are broadcast
-# into the best-name group fetch and the final mention join (a ~100-300 B/row
-# map ⇒ ≤~300 MB — comfortably under the 8 GB broadcast ceiling and cheap to
-# ship to 1000 executors). Above it, the plan falls back to shuffle joins:
-# at 100 TB the distinct-name universe is in the billions and MUST shuffle —
-# the cutover is decided from a measured count, never assumed.
+# Best-match maps at or under this many distinct probe names are broadcast
+# into the group fetch (3 scalar columns ⇒ ≤~60 MB). Above it, the plan
+# falls back to shuffle joins: at 100 TB the distinct-name universe is in
+# the billions and MUST shuffle — the cutover is decided from a measured
+# count, never assumed.
 BROADCAST_DECISIONS_LIMIT = 1_000_000
+# The final per-raw-name decision map carries three LIST_OF_DUNS_CAP'd
+# arrays, so its broadcast is gated on an estimated BYTE size (a row-count
+# gate measures the wrong quantity — 1M rows of 100-element lists is
+# multi-GB): rows x scalar overhead + list elements x element estimate.
+BROADCAST_DECISIONS_MAX_BYTES = 256 * 1024 * 1024
+_ROW_BYTES_EST = 150     # scalar columns + per-row structure overhead
+_LONG_ELEM_BYTES = 12    # array<long> element incl. offsets
+_NAME_ELEM_BYTES = 48    # array<string> element (gl_ult_nam averages)
 
 
 def extract_name_mentions(documents: DataFrame) -> DataFrame:
@@ -136,8 +143,12 @@ def match_documents(
         .withColumn("m_norm", normalize_name_col(F.col("raw_name")))
         .persist()
     )
-    # kept for API/checkpoint compat (lazy — only consumers pay for it)
-    mentions = mentions_raw.join(norm_map, "raw_name")
+    # kept for API/checkpoint compat (lazy — only consumers pay for it).
+    # LEFT join: a NULL raw_name (a kind='name' span with NULL text) never
+    # equi-joins, and an inner join would silently drop that mention here
+    # while the decisions frame still carries it — breaking the one-row-per-
+    # extracted-mention traceability invariant.
+    mentions = mentions_raw.join(norm_map, "raw_name", "left")
 
     reg = (
         registry.filter(F.col("cur_rec_ind") == "Y")
@@ -216,16 +227,13 @@ def match_documents(
     # then drop the keyed blocking inputs — nothing downstream reads them
     scored.count()
     release_blocking_caches(key_stats, include_stats=False)
-    # cached counts (the blocking jobs populated both caches): broadcast vs
-    # shuffle for the decision tail, each decided by the size of the frame
-    # that would actually ship — the best-match map is keyed by NORMALIZED
-    # name, the final decision map by RAW name (strictly more rows);
-    # broadcast_decisions forces both (None = auto)
+    # cached count (the blocking jobs populated the probes cache): broadcast
+    # vs shuffle for the best-match map, decided by its measured row count;
+    # broadcast_decisions forces the whole tail's choice (None = auto)
     if broadcast_decisions is None:
         small_probe_universe = probes.count() <= BROADCAST_DECISIONS_LIMIT
-        small_raw_universe = norm_map.count() <= BROADCAST_DECISIONS_LIMIT
     else:
-        small_probe_universe = small_raw_universe = broadcast_decisions
+        small_probe_universe = broadcast_decisions
 
     best = best_match_per_probe(
         scored, probe_id="m_norm", threshold=threshold
@@ -251,8 +259,30 @@ def match_documents(
     # (small x small join on m_norm), so the mention stream is joined on the
     # RAW string — it is never normalized and, when the decision map is
     # small (measured), never shuffled either.
-    per_raw = norm_map.join(decided_norm, "m_norm", "left")
-    if small_raw_universe:
+    per_raw = norm_map.join(decided_norm, "m_norm", "left").persist()
+    if broadcast_decisions is None:
+        # measure the BYTES this map would ship, not its row count: the
+        # audit arrays dominate (a row can carry 3x100 capped elements), so
+        # one cheap agg over the persisted map estimates the payload
+        sizes = per_raw.select(
+            F.count("*").alias("rows"),
+            F.sum(
+                F.coalesce(F.size("list_of_duns"), F.lit(0))
+                + F.coalesce(F.size("list_of_gduns"), F.lit(0))
+            ).alias("long_elems"),
+            F.sum(F.coalesce(F.size("list_of_gdun_names"), F.lit(0))).alias(
+                "name_elems"
+            ),
+        ).collect()[0]
+        est_bytes = (
+            sizes["rows"] * _ROW_BYTES_EST
+            + (sizes["long_elems"] or 0) * _LONG_ELEM_BYTES
+            + (sizes["name_elems"] or 0) * _NAME_ELEM_BYTES
+        )
+        broadcast_raw = est_bytes <= BROADCAST_DECISIONS_MAX_BYTES
+    else:
+        broadcast_raw = broadcast_decisions
+    if broadcast_raw:
         per_raw = F.broadcast(per_raw)
     decisions = fill_manual_defaults(
         mentions_raw.join(per_raw, "raw_name", "left")
@@ -262,5 +292,5 @@ def match_documents(
         pairs_scored=scored,
         decisions=decisions,
         key_stats=key_stats,
-        _caches=(reg, scored, key_stats, probes, norm_map),
+        _caches=(reg, scored, key_stats, probes, norm_map, per_raw),
     )

@@ -329,3 +329,36 @@ def test_ivf_kmeans_centroids_beat_untrained_on_planted_clusters(spark, tmp_path
     n_mixed_kmeans = mixed_cells(kmeans_centroids_spherical(Xf, 8))
     assert n_mixed_kmeans == 0, n_mixed_kmeans
     assert n_mixed_untrained > 0, n_mixed_untrained
+
+
+def test_zero_token_documents_do_not_abort_text_ops(spark, tmp_path):
+    """ANSI-mode division guard (round-3 review finding, reproduced live):
+    a whitespace-only or empty document must flow through the quality /
+    langid / curation operators as NULL-ratio rows, not abort the whole job
+    with DIVIDE_BY_ZERO — every real crawl contains such docs."""
+    from gduns_name_match_spark.operators.training import (
+        q_corpus_curation,
+        q_langid_heuristic,
+        q_text_quality,
+    )
+
+    rows = [
+        (1, "the bank of the west", "en", "crawl", 20),
+        (2, "   ", "en", "crawl", 3),
+        (3, "", "en", "crawl", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    quality = q_text_quality(spark, str(tmp_path)).collect()
+    assert len(quality) == 3  # empty docs present, ratios NULL
+    empty = {r["doc_id"]: r for r in quality}
+    assert empty[2]["stopword_ratio"] is None
+    assert empty[3]["mean_token_len"] is None
+
+    langid = q_langid_heuristic(spark, str(tmp_path)).collect()
+    assert sum(r["n"] for r in langid) == 3  # empty docs vote 'other'
+
+    curated = q_corpus_curation(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in curated] == [1]  # gates drop empties quietly

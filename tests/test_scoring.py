@@ -146,6 +146,9 @@ def test_char_ngrams_col_parity(spark):
     names = [
         "jpmorganchasebank", "a", "", "ab", "first national, bank-of./x",
         "x BD y", None, "abc" * 30, "b.d-e/f,g", " BD",
+        # raw-text cases: Java '.' excludes \n and Java \s is ASCII-only
+        # unless the expression opts in — these pin the (?s)/(?U) flags
+        "foo\nbar", "x BD tail", "a\nb\nc",
     ]
     df = spark.createDataFrame([(n,) for n in names], "name string")
     rows = df.select(
