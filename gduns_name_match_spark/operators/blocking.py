@@ -21,10 +21,50 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gduns_name_match_spark.functions.phonetic import metaphone_lite_col
+
+_LOG = logging.getLogger(__name__)
+
+
+@dataclass
+class BlockingResult:
+    """Explicit cache-lifecycle handle for ``candidate_pairs``.
+
+    ``pairs``/``stats`` are plain DataFrames; ``release()`` unpersists the two
+    keyed input frames (and, by default, the stats frame) once the caller has
+    materialized the pairs output. An explicit handle instead of private state
+    attached to a DataFrame: any select/filter/checkpoint of the stats frame
+    returns a NEW DataFrame without such state, which made the old
+    attribute-based release a silent no-op (the exact leak the mechanism
+    existed to fix) — and DataFrame attributes don't survive Spark Connect.
+
+    Tuple-unpackable (``pairs, stats = candidate_pairs(...)``) for callers
+    that manage cache lifecycle themselves (tests, one-shot benches).
+    """
+
+    pairs: DataFrame
+    stats: DataFrame
+    _caches: tuple = field(default_factory=tuple)
+
+    def __iter__(self):
+        return iter((self.pairs, self.stats))
+
+    def release(self, include_stats: bool = True) -> None:
+        if not self._caches and include_stats is True:
+            _LOG.warning(
+                "BlockingResult.release: no tracked caches (already released?)"
+            )
+        for f in self._caches:
+            f.unpersist()
+        self._caches = ()
+        if include_stats:
+            self.stats.unpersist()
 
 
 # strings at or beyond this length are prose/documents, not company names:
@@ -130,10 +170,11 @@ def candidate_pairs(
     max_block: int = 100_000,
     max_key_pairs: int = 50_000_000,
     n_salt: int = 16,
-) -> tuple[DataFrame, DataFrame]:
+) -> BlockingResult:
     """Join probe rows to registry rows on shared block keys, salted for skew.
 
-    Returns (pairs, key_stats). ``pairs`` has one row per distinct
+    Returns a :class:`BlockingResult` handle (tuple-unpackable as
+    ``(pairs, stats)``). ``pairs`` has one row per distinct
     (probe_id, registry_id) with all columns of both sides; ``key_stats``
     records per-key registry population and the dropped/hot flags so no cap is
     silent (lineage requirement, BASELINE.json north_rule).
@@ -223,21 +264,31 @@ def candidate_pairs(
             joined.drop(key_col, "salt", "_p_keys", "_r_keys")
             .dropDuplicates([probe_id, registry_id])
         )
-    # cache-lifecycle handle: the two keyed inputs stay persisted until the
-    # caller has materialized `pairs` (they back its lazy plan); callers MUST
-    # release_blocking_caches(stats) afterwards or a long-lived session
-    # accumulates three cached frames per invocation
-    stats._blocking_inputs = [probe_keyed, registry_keyed]
-    return pairs, stats
+    # the two keyed inputs stay persisted until the caller has materialized
+    # `pairs` (they back its lazy plan); callers MUST release() the handle
+    # afterwards or a long-lived session accumulates three cached frames per
+    # invocation
+    return BlockingResult(
+        pairs=pairs, stats=stats, _caches=(probe_keyed, registry_keyed)
+    )
 
 
-def release_blocking_caches(stats: DataFrame, include_stats: bool = True) -> None:
+def release_blocking_caches(result, include_stats: bool = True) -> None:
     """Unpersist the frames ``candidate_pairs`` cached. Call once the pairs
     output is materialized (persisted+counted, localCheckpointed, written);
     releasing earlier silently recomputes the keyed sides instead of erroring.
     ``include_stats=False`` keeps the key_stats frame cached when the caller
-    still needs it (e.g. to commit lineage counters with a checkpoint)."""
-    for f in getattr(stats, "_blocking_inputs", ()):
-        f.unpersist()
+    still needs it (e.g. to commit lineage counters with a checkpoint).
+
+    Accepts the :class:`BlockingResult` handle. A bare stats DataFrame (the
+    pre-handle API) gets a loud warning and only the stats unpersist — the
+    keyed inputs cannot be recovered from a transformed frame."""
+    if isinstance(result, BlockingResult):
+        result.release(include_stats=include_stats)
+        return
+    _LOG.warning(
+        "release_blocking_caches: got a bare DataFrame, not a BlockingResult —"
+        " the keyed blocking inputs cannot be released from it"
+    )
     if include_stats:
-        stats.unpersist()
+        result.unpersist()

@@ -91,6 +91,10 @@ STAGE_RANK = {
     "dnb_fallback": 7,
 }
 
+# gdun→GL_ULT_NAM dim rows at or under this count broadcast into the output
+# join (2 scalar columns ⇒ ≤~100 MB); above it the join degrades to shuffle
+BROADCAST_GNAMES_LIMIT = 1_000_000
+
 # probe identity through the whole cascade: the normalized name, the geo keys
 # AND the route flags — two mentions sharing a name but routed differently
 # (corporate vs bank/CU) must decide independently
@@ -143,10 +147,10 @@ def _accepted_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """One blocking + salted join + Arrow-batched scoring job; returns the
     accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
-    key_stats handle — the caller must release_blocking_caches(stats) once
-    the accepted set is materialized."""
+    BlockingResult handle — the caller must release_blocking_caches(handle)
+    once the accepted set is materialized."""
     scorer = make_pair_scorer(spark, idf)
-    pairs, stats = candidate_pairs(
+    blocking = candidate_pairs(
         with_block_keys(probes, probe_col),
         with_block_keys(names, name_col),
         probe_id=probe_col,
@@ -162,14 +166,14 @@ def _accepted_pairs(
     # partition BY probe: one exchange serves both the kernel (probe-sorted
     # rows share the cached vector) and the per-probe argmin window
     scored = (
-        pairs.filter(len_ok)
+        blocking.pairs.filter(len_ok)
         .repartition(spark.sparkContext.defaultParallelism * 2, probe_col)
         .sortWithinPartitions(probe_col)
         .withColumn(
             "cos_dist", scorer(F.col(probe_col), F.col(name_col)).getField("cos_dist")
         )
     )
-    return scored.filter(F.col("cos_dist") <= threshold), stats
+    return scored.filter(F.col("cos_dist") <= threshold), blocking
 
 
 def _norm_reg(df: DataFrame | None, name_col: str) -> DataFrame | None:
@@ -602,13 +606,20 @@ def run_cascade(
         ).alias("list_of_gdun_names"),
     )
     # FJ_GDUN_NAME on success = the winning gdun's GL_ULT_NAM (reference sets
-    # gdun_name from the matched row, :455,:547): one broadcast join against
-    # the gdun→name dim (mention-independent, |distinct gl_ult_dun| rows)
+    # gdun_name from the matched row, :455,:547): a join against the
+    # gdun→name dim (mention-independent, |distinct gl_ult_dun| rows) —
+    # broadcast ONLY when a measured count says the dim fits (same rule as
+    # every other broadcast here); a web-scale registry has millions of
+    # distinct ultimates and must shuffle instead of OOMing the driver
     if "gl_ult_nam" in dnb.columns:
         gnames = dnb.groupBy(F.col("gl_ult_dun").alias("gdun")).agg(
             F.min("gl_ult_nam").alias("gdun_name")
         )
-        out = out.join(F.broadcast(gnames), "gdun", "left")
+        # dnb is cached; countDistinct over it bounds the dim's row count
+        n_gnames = dnb.select(F.count_distinct("gl_ult_dun")).collect()[0][0]
+        if n_gnames <= BROADCAST_GNAMES_LIMIT:
+            gnames = F.broadcast(gnames)
+        out = out.join(gnames, "gdun", "left")
     else:
         out = out.withColumn("gdun_name", F.lit(None).cast("string"))
     return out

@@ -89,7 +89,13 @@ def resolve_event_chains(events: DataFrame, max_trail_hops: int = 64) -> DataFra
         .withColumn("cur", F.col("fdic_id"))
         .withColumn("trail", F.array().cast("array<string>"))
     )
-    for _ in range(int(max_depth)):
+    # checkpoint every k hops, not every hop: each localCheckpoint writes the
+    # full walker frame to local disk, so a 64-hop chain would pay 64
+    # sequential materializations; k joins of a small hop dim compose fine in
+    # one lazy plan, and the periodic barrier still stops the DAG (and its
+    # re-execution cost on failure) from growing unboundedly
+    _CHECKPOINT_EVERY = 8
+    for hop in range(int(max_depth)):
         trail = (
             trail.join(hop_src, trail.cur == hop_src.hop_child, "left")
             .withColumn(
@@ -101,8 +107,9 @@ def resolve_event_chains(events: DataFrame, max_trail_hops: int = 64) -> DataFra
             )
             .withColumn("cur", F.coalesce("hop_parent", "cur"))
             .drop("hop_child", "hop_parent", "hop_source")
-            .localCheckpoint()
         )
+        if (hop + 1) % _CHECKPOINT_EVERY == 0 or hop + 1 == int(max_depth):
+            trail = trail.localCheckpoint()
     trail = trail.select("fdic_id", F.concat_ws("+", "trail").alias("source_trail"))
     return resolved.join(trail, "fdic_id").select(
         "fdic_id", "parent_fdic_id", "root_id", "depth", "source_trail"
@@ -209,8 +216,11 @@ def repivot_transitions(decisions: DataFrame) -> DataFrame:
     (event_id, old_gdun, new_gdun, transition_ind)."""
     pivoted = (
         decisions.groupBy("event_id")
+        # decisions carry exactly one row per (event_id, side) today; min()
+        # makes that a structural invariant rather than a first()-pick-any
+        # assumption if an upstream ever emits duplicates
         .pivot("side", ["old", "new"])
-        .agg(F.first("gdun"))
+        .agg(F.min("gdun"))
         .withColumnRenamed("old", "old_gdun")
         .withColumnRenamed("new", "new_gdun")
     )

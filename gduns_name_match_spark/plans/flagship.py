@@ -137,6 +137,13 @@ def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("neardup_merged"))
         .alias("match_status"),
     )
+    # materialize, then release the cached texts frame: the returned (lazy)
+    # plan must not keep a persisted input alive — a long-lived session
+    # invoking this entry repeatedly would accumulate one cached frame per
+    # call (the leak class VERDICT r03 flagged; test_scale_guards asserts the
+    # persistent-RDD census is flat across invocations)
+    out = out.localCheckpoint()
+    texts.unpersist()
     return out
 
 
@@ -166,9 +173,15 @@ def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _neardup_components(spark, texts)
     by_doc = docs.join(out, "t_norm").select("doc_id", "component")
     sizes = by_doc.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return by_doc.join(sizes, "component").select(
+    clusters = by_doc.join(sizes, "component").select(
         "doc_id", F.col("component").alias("cluster_id"), "cluster_size"
     )
+    # materialize before releasing the two cached inputs the plan reads from
+    # (see flagship_neardup — same no-leak contract)
+    clusters = clusters.localCheckpoint()
+    docs.unpersist()
+    texts.unpersist()
+    return clusters
 
 
 def anchor_star_edges(matched: DataFrame) -> DataFrame:

@@ -181,7 +181,7 @@ def match_documents(
         "r_norm",
         prefix_len=prefix_len,
     )
-    pairs, key_stats = candidate_pairs(
+    blocking = candidate_pairs(
         m_keyed,
         r_keyed,
         probe_id="m_norm",
@@ -189,6 +189,7 @@ def match_documents(
         hot_key_threshold=hot_key_threshold,
         n_salt=n_salt,
     )
+    pairs, key_stats = blocking.pairs, blocking.stats
 
     # JVM-side prefilter: cosine distance <= 0.2 needs heavy n-gram overlap,
     # impossible when lengths diverge wildly. Loose 0.4 ratio — provably
@@ -226,7 +227,7 @@ def match_documents(
     # materialize the scored cache now (the heaviest stage runs exactly once),
     # then drop the keyed blocking inputs — nothing downstream reads them
     scored.count()
-    release_blocking_caches(key_stats, include_stats=False)
+    release_blocking_caches(blocking, include_stats=False)
     # cached count (the blocking jobs populated the probes cache): broadcast
     # vs shuffle for the best-match map, decided by its measured row count;
     # broadcast_decisions forces the whole tail's choice (None = auto)
