@@ -44,11 +44,27 @@ SPNV_MATCH_RAW_COLUMNS = [
 # FDIC branch SOURCE column, credit_proccess SOURCE= literals :854,890,924)
 _STAGE_SOURCE = {
     "fdic_active": "FDIC",
+    "fdic_state": "FDIC",
     "title_change_lq": "LQ",
     "title_change": "TC",
     "cu_active": "CREDITUNION_ACTIVE",
     "cu_mna": "CREDITUNION_MNA",
     "cu_closed": "CREDITUNION_CLOSED",
+}
+
+# stage → the `inp` literal the reference passes into dnb_proccess /
+# dnb_c_proccess; Manual rows persist it as COMMENTS (:650-673). Call sites:
+# corporate :1471, fallback :1249 (''), FDIC :1003, state-eq :1154, events
+# :1124, CU :855, MNA :893. Branches with several sub-variant literals carry
+# the dominant one.
+_STAGE_MANUAL_COMMENT = {
+    "dnb_corporate": "non banking/non credit union entities",
+    "dnb_fallback": "",
+    "fdic_active": "data from FDIC active file(name and city) with unique FDIC_ID",
+    "fdic_state": "Fdic name and state matching and unique ID",
+    "title_change": "data from FDIC Events",
+    "cu_active": "Data from credit unions active (unique id)",
+    "cu_mna": "Data from credit unions MNA (unique id)",
 }
 
 
@@ -69,6 +85,12 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         F.when(F.col("list_of_gdun_names") != "", F.col("list_of_gdun_names"))
         .otherwise(F.col("list_of_gduns")),
     )
+    # Manual rows persist the branch's `inp` literal as COMMENTS (:650-673)
+    manual_comment = F.lit(None).cast("string")
+    for stage, lit in _STAGE_MANUAL_COMMENT.items():
+        manual_comment = F.when(F.col("stage") == stage, F.lit(lit)).otherwise(
+            manual_comment
+        )
     comments = (
         F.when(F.col("match_status") == "matched_name",
                F.lit("unique gdun for assigned duns name"))
@@ -79,10 +101,14 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
               F.lit("Data from DNB using Headquaters"))
         .when(F.col("match_status") == "multiple_gduns",
               F.concat(F.lit("Multiple GDUNS found,"), F.col("list_of_gduns")))
+        # the HQ rung's ambiguity carries its own literal
+        # (automation_final2.py:640) — ADVICE r03 item 4
+        .when(F.col("match_status") == "multiple_gduns_hq",
+              F.concat(F.lit("Multiple GDUNS found for headquaters,"),
+                       F.col("list_of_gduns")))
         .when(F.col("stage") == "cu_closed",
               F.lit("Data from credit unions closed (unique id)"))
-        # reference sets Comments to the input name on Manual (:650-673)
-        .when(F.col("match_status") == "manual", F.col("m_norm"))
+        .when(F.col("match_status") == "manual", manual_comment)
         .otherwise(ns())
     )
     detail = (
@@ -91,7 +117,11 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         .otherwise(ns())
     )
     gdun_name = (
-        F.when(F.col("match_status") == "multiple_gduns", multi_names)
+        F.when(
+            F.col("match_status").isin("multiple_gduns", "multiple_gduns_hq"),
+            multi_names,  # gdun_name stays the generic literal even for the
+                          # HQ rung (:630) — only COMMENTS gets the variant
+        )
         .when(F.col("match_status") == "manual", F.lit("Manual"))
         .otherwise(F.col("gdun_name"))
     )
@@ -107,12 +137,17 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         ns().alias("WK_GDUN_NAME"),
         F.col("old_gdun").cast("long").alias("WK_GDUN"),
         F.col("m_norm").alias("COMPRESSES_SEC_PARTY_NAME"),
-        ns().alias("COMPRESSES_SEC_PARTY_CITY"),
-        ns().alias("COMPRESSES_SEC_PARTY_STATE"),
+        # normalized mention geo keys (reference carries the compressed
+        # city/state through the whole run, :1508-1521)
+        F.col("m_city_norm").alias("COMPRESSES_SEC_PARTY_CITY"),
+        F.col("m_state").alias("COMPRESSES_SEC_PARTY_STATE"),
         ns().alias("FDIC_ACTIVE_PARENT"),
         ns().alias("FDIC_INACTIVE_PARENT_IDN"),
         ns().alias("FDIC_INACTIVE_PARENT_MAP"),
-        F.when(F.col("stage").isin("fdic_active", "title_change"), F.col("best_name"))
+        F.when(
+            F.col("stage").isin("fdic_active", "fdic_state", "title_change"),
+            F.col("best_name"),
+        )
         .otherwise(ns())
         .alias("FINAL_FDIC_PARENT"),
         F.col("gdun").cast("long").alias("FJ_GDUN"),
@@ -126,7 +161,10 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         nl().alias("ACTIVE_UNIQUE_ID"),
         nl().alias("PARENT_UNIQUE_ID"),
         F.col("active_name_dist").cast("double").alias("ACTIVE_NAME_DISTANCE"),
-        nd().alias("ACTIVE_CITY_DISTANCE"),
+        # the FDIC branch's city-probe distance (reference active_city_dist,
+        # automation_final2.py:980) — computed by the cascade's
+        # _fdic_city_gate kernel
+        F.col("active_city_dist").cast("double").alias("ACTIVE_CITY_DISTANCE"),
         F.col("inactive_title_dist").cast("double").alias("INACTIVE_TITLE_DISTANCE"),
         # the branch that resolves through a chained parent records its DNB
         # hop as the parent-name distance (reference Parent_active_distance)
@@ -134,7 +172,13 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         .otherwise(nd())
         .cast("double")
         .alias("PARENT_NAME_DISTANCE"),
-        nd().alias("PARENT_CITY_DISTANCE"),
+        # parent-city probe approximation: the chained-parent branch's DNB
+        # city-rung distance (the reference probes the parent's FDIC cities,
+        # :1102 — the engine's tc branch is city-blind, documented)
+        F.when(F.col("stage") == "title_change", F.col("dnb_city_dist"))
+        .otherwise(nd())
+        .cast("double")
+        .alias("PARENT_CITY_DISTANCE"),
         F.col("best_dist").cast("double").alias("DNB_NAME_DISTANCE"),
         F.col("dnb_city_dist").cast("double").alias("DNB_CITY_DISTANCE"),
         detail.alias("DETAIL_INFO"),

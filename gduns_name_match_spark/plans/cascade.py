@@ -29,11 +29,21 @@ Spark-first decomposition (replaces round 1's ~8 sequential match jobs):
 * PASS 2 — candidate DNB *targets* (CU names, merger parents, FDIC names,
   event ultimate parents) vs DNB: mention-INDEPENDENT, O(|registries|) — the
   second hop of every cascade branch precomputed once.
-* branch assembly + terminal GDUN decision (operators/resolve.resolve_gdun:
-  unique → city → state → HQ → -67000) are pure joins; cascade priority is
+* branch assembly + terminal GDUN decision are pure joins; each branch
+  decides under ITS reference function's rung semantics (CU branches =
+  dnb_c_proccess STATE rung, everything else = dnb_proccess CITY + HQ
+  rungs — resolve_gdun geo_mode, reference-exact rung order/subsets
+  including terminal -67000 and Manual fall-through); cascade priority is
   one row_number window keyed by the full probe identity INCLUDING the route
   flags (mentions sharing a normalized name but different routes decide
-  independently).
+  independently). A branch whose DNB hop missed is Manual-TERMINAL at its
+  priority (the reference returns Manual from inside the branch, never
+  falling to a later registry).
+* the FDIC branch is CITY-GATED like the reference's active_proccess: the
+  mention city probes the matched FDIC name group's own cities (fresh
+  per-group TF-IDF), the branch proceeds to DNB only on acceptance, and the
+  HQ tie-break city comes from the cert at the matched city (see
+  _fdic_city_gate — closes round-3 documented divergence 2).
 * OLD_GDUN self-audit: when mentions carry old_gdun, the output's match_ind
   is 'Y'/'N' vs the final gdun (reference automation_final2.py:472-479).
 
@@ -44,10 +54,12 @@ group; round 2's registry-wide-IDF approximation is closed).
 Documented divergences: (1) the reference fits one vectorizer per registry —
 here a single engine-wide IDF over the union of registry names scores both
 passes (the 0.2 acceptor is insensitive to the re-weighting on
-non-degenerate vocabularies, asserted by the branch-parity tests); (2) the
-HQ city for an FDIC name with several certs is the deterministic min
-MAINOFF=1 city of that name (the reference picks the cert surviving its
-per-row city probe).
+non-degenerate vocabularies, asserted by the branch-parity tests and the
+adversarial per-registry fixture in tests/test_cascade.py); (2) the
+title-change branch resolves through the latest-event ultimate chained
+parent without the reference's per-parent city/state probes
+(automation_final2.py:1090-1137) — its multi-parent TEMP2='Y' emission is
+modeled on distinct accepted parents instead.
 """
 
 from __future__ import annotations
@@ -83,12 +95,13 @@ from gduns_name_match_spark.operators.resolve import (
 STAGE_RANK = {
     "dnb_corporate": 0,
     "fdic_active": 1,
-    "title_change_lq": 2,
-    "title_change": 3,
-    "cu_active": 4,
-    "cu_mna": 5,
-    "cu_closed": 6,
-    "dnb_fallback": 7,
+    "fdic_state": 2,
+    "title_change_lq": 3,
+    "title_change": 4,
+    "cu_active": 5,
+    "cu_mna": 6,
+    "cu_closed": 7,
+    "dnb_fallback": 8,
 }
 
 # gdun→GL_ULT_NAM dim rows at or under this count broadcast into the output
@@ -182,6 +195,101 @@ def _norm_reg(df: DataFrame | None, name_col: str) -> DataFrame | None:
     return df.withColumn("norm_name", normalize_name_col(F.col(name_col)))
 
 
+_FDIC_GATE_SCHEMA = (
+    "m_norm string, m_city_norm string, m_state string, is_corp boolean, "
+    "is_cu boolean, t_norm string, active_city_dist double, hq_city string, "
+    "city_accepted boolean"
+)
+
+
+def _fdic_city_gate(probe_hits: DataFrame, fdic: DataFrame) -> DataFrame:
+    """The reference's FDIC city probe + cert-based HQ selection
+    (active_proccess, automation_final2.py:975-1050), one applyInPandas
+    group per (probe, matched FDIC name):
+
+    * fit a fresh TF-IDF on the matched FDIC name group's OWN cities and
+      probe with the mention city (:976-980); the bank branch proceeds to
+      DNB only when that distance accepts (<= 0.2) — on failure the row
+      falls to the title-change/credit/DNB-fallback chain (:1052-1060),
+      which the cascade's priority window already models;
+    * the HQ city comes from the CERT at the matched (argmin) city — the
+      single row there, else the unique cert there, else the unique cert
+      after the nearest-state disambiguation probe within that city subset
+      (:992-1009, 1021-1031); no unique cert → no HQ (:1040-1050). HQ =
+      that cert's MAINOFF=1 branch city (:995-996; min() where the
+      reference takes frame order).
+
+    This closes documented divergence 2 (round 3 took the deterministic min
+    MAINOFF city of the whole name, and ran the DNB hop city-ungated).
+    Groups are one FDIC name's branch fan-out — bounded like every other
+    matched-name group."""
+    from gduns_name_match_spark.functions.similarity import (
+        cosine_dist_local,
+        fit_idf_local,
+    )
+
+    rows = probe_hits.join(
+        fdic.select(
+            F.col("norm_name").alias("t_norm"),
+            F.col("norm_city").alias("f_city"),
+            F.col("state").alias("f_state"),
+            F.col("fdic_id").alias("cert"),
+            "mainoff",
+        ),
+        "t_norm",
+    )
+    keys = [*PROBE_KEYS, "t_norm"]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        first = pdf.iloc[0]
+        m_city = first["m_city_norm"] or ""
+        m_state = first["m_state"] or ""
+        cities = pdf["f_city"].fillna("").tolist()
+        idf = fit_idf_local(cities)
+        d = [cosine_dist_local(m_city, c, idf) for c in cities]
+        dmin = min(d)
+        hq = ""
+        accepted = bool(dmin <= THRESHOLD)
+        if accepted:
+            cstar = min(c for c, di in zip(cities, d) if di == dmin)
+            m1 = pdf[pdf["f_city"].fillna("") == cstar]
+            certs = m1["cert"].unique()
+            if len(m1) == 1 or len(certs) == 1:
+                cert = certs[0]
+            else:
+                states = m1["f_state"].fillna("").tolist()
+                sidf = fit_idf_local(states)
+                sd = [cosine_dist_local(m_state, s, sidf) for s in states]
+                sdmin = min(sd)
+                sstar = min(s for s, di in zip(states, sd) if di == sdmin)
+                m2 = m1[m1["f_state"].fillna("") == sstar]
+                c2 = m2["cert"].unique()
+                cert = c2[0] if len(c2) == 1 else None
+            if cert is not None:
+                hqrows = pdf[(pdf["cert"] == cert) & (pdf["mainoff"] == 1)]
+                if len(hqrows):
+                    hq = min(hqrows["f_city"].fillna("").tolist())
+        return pd.DataFrame(
+            [
+                {
+                    "m_norm": first["m_norm"],
+                    "m_city_norm": first["m_city_norm"],
+                    "m_state": first["m_state"],
+                    "is_corp": bool(first["is_corp"]),
+                    "is_cu": bool(first["is_cu"]),
+                    "t_norm": first["t_norm"],
+                    "active_city_dist": float(dmin),
+                    "hq_city": hq,
+                    "city_accepted": accepted,
+                }
+            ]
+        )
+
+    return rows.groupBy(*keys).applyInPandas(kernel, _FDIC_GATE_SCHEMA)
+
+
 def run_cascade(
     spark: SparkSession,
     mentions: DataFrame,
@@ -228,13 +336,6 @@ def run_cascade(
         "fdic_id", "norm_name",
         normalize_city_col(F.col("city")).alias("norm_city"),
         F.col("state"), "mainoff",
-    )
-    # HQ city per FDIC name: the MAINOFF=1 branch's city (reference
-    # :995-996); min() makes the multi-cert case deterministic (divergence 3)
-    fdic_hq = (
-        fdic.filter(F.col("mainoff") == 1)
-        .groupBy("norm_name")
-        .agg(F.min("norm_city").alias("hq_city"))
     )
 
     events = regs.fdic_events.select(
@@ -381,24 +482,24 @@ def run_cascade(
     cu_mb = noncorp_mb.filter(F.col("is_cu"))
 
     empty_hq = F.lit("").alias("hq_city")
+    no_acd = F.lit(None).cast("double").alias("active_city_dist")
 
-    def _dnb_branch(base: DataFrame, first_hop: DataFrame, stage: str,
-                    hq: DataFrame | None = None) -> DataFrame:
-        """base ⋈ first_hop(m_norm → t_norm, dist) ⋈ best2 → branch rows
-        carrying the DNB name to decide on."""
+    def _dnb_branch(base: DataFrame, first_hop: DataFrame, stage: str) -> DataFrame:
+        """base ⋈ first_hop(m_norm → t_norm) ⋈ best2 → branch rows carrying
+        the DNB name to decide on. LEFT join on best2: a branch whose first
+        hop matched but whose DNB probe found nothing is still TERMINAL in
+        the reference (dnb_proccess dist > 0.2 → Manual, :658-675) — the row
+        must NOT fall through to a lower-priority branch, so it rides the
+        priority window as a dnb_name=NULL row that decides Manual."""
         hop = base.join(first_hop, "m_norm")
-        hop = hop.join(best2, "t_norm")
-        if hq is not None:
-            hop = hop.join(hq, F.col("t_norm") == hq.norm_name, "left").drop("norm_name")
-            hq_col = F.coalesce("hq_city", F.lit("")).alias("hq_city")
-        else:
-            hq_col = empty_hq
+        hop = hop.join(best2, "t_norm", "left")
         return hop.select(
             *PROBE_KEYS,
             F.lit(stage).alias("stage"),
             F.col("dnb_name"),
             F.col("dnb_dist"),
-            hq_col,
+            empty_hq,
+            no_acd,
         )
 
     branches = []
@@ -410,13 +511,13 @@ def run_cascade(
     branches.append(
         corp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_corporate").alias("stage"),
-            "dnb_name", "dnb_dist", empty_hq,
+            "dnb_name", "dnb_dist", empty_hq, no_acd,
         )
     )
     branches.append(
         noncorp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_fallback").alias("stage"),
-            "dnb_name", "dnb_dist", empty_hq,
+            "dnb_name", "dnb_dist", empty_hq, no_acd,
         )
     )
 
@@ -431,9 +532,56 @@ def run_cascade(
         )
         branches.append(_dnb_branch(cu_mb, mna_hop, "cu_mna"))
 
-    # bank chain: FDIC active carries the HQ city into the decision
+    # bank chain: the FDIC city probe gates entry to DNB and selects the
+    # cert whose MAINOFF=1 city becomes the HQ tie-break (reference
+    # active_proccess :975-1050; see _fdic_city_gate)
     fdic_hop = tag_best("fdic").select("m_norm", F.col("best_name").alias("t_norm"))
-    branches.append(_dnb_branch(bank_mb, fdic_hop, "fdic_active", hq=fdic_hq))
+    fdic_gate = _fdic_city_gate(bank_mb.join(fdic_hop, "m_norm"), fdic)
+    branches.append(
+        fdic_gate.filter(F.col("city_accepted"))
+        .join(best2, "t_norm", "left")
+        .select(
+            *PROBE_KEYS, F.lit("fdic_active").alias("stage"),
+            "dnb_name", "dnb_dist",
+            F.coalesce("hq_city", F.lit("")).alias("hq_city"),
+            F.col("active_city_dist"),
+        )
+    )
+
+    # state-equality fallback of the city-failed FDIC path (reference
+    # :1140-1155 and :1221-1231, Comments 'Fdic name and state matching and
+    # unique ID'): the matched FDIC name has ONE cert and a row whose state
+    # equals the mention state → DNB on the FDIC name; HQ = the name's
+    # MAINOFF=1 city when exactly one exists (:1148-1149)
+    fdic_meta = fdic.groupBy(F.col("norm_name").alias("t_norm")).agg(
+        F.count_distinct("fdic_id").alias("n_certs"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("mainoff") == 1, F.col("norm_city")))
+        ).alias("_hqs"),
+    )
+    fdic_states = fdic.select(
+        F.col("norm_name").alias("fs_t"), F.col("state").alias("f_state")
+    ).distinct()
+    state_base = (
+        fdic_gate.filter(~F.col("city_accepted"))
+        .join(fdic_meta.filter(F.col("n_certs") == 1), "t_norm")
+        .join(
+            fdic_states,
+            (F.col("fs_t") == F.col("t_norm"))
+            & (F.col("f_state") == F.col("m_state")),
+            "left_semi",
+        )
+    )
+    branches.append(
+        state_base.join(best2, "t_norm", "left").select(
+            *PROBE_KEYS, F.lit("fdic_state").alias("stage"),
+            "dnb_name", "dnb_dist",
+            F.when(F.size("_hqs") == 1, F.get("_hqs", 0))
+            .otherwise(F.lit(""))
+            .alias("hq_city"),
+            F.col("active_city_dist"),
+        )
+    )
 
     ev_meta = tag_best("events").join(
         name_parents.select(F.col("norm_name").alias("best_name"), "source"),
@@ -445,7 +593,16 @@ def run_cascade(
     tc_hop = ev_meta.filter(F.col("source") != "LQ").select(
         "m_norm", F.coalesce("ultimate_parent", "best_name").alias("t_norm")
     )
-    branches.append(_dnb_branch(bank_mb, tc_hop, "title_change"))
+    # the parent chase belongs to rows WITHOUT an accepted FDIC-active match
+    # (reference :1243 else-path): an active bank that also appears in the
+    # events file resolves through its own active identity, not its chain —
+    # the reference only reaches the chain via city-gated parent probes the
+    # engine models as this anti-join (documented divergence: with geo
+    # present, a city-accepted parent chain could win there)
+    tc_base = bank_mb.join(
+        fdic_hop.select("m_norm").distinct(), "m_norm", "left_anti"
+    )
+    branches.append(_dnb_branch(tc_base, tc_hop, "title_change"))
 
     # terminal (no-DNB) branches: liquidations
     terminals = []
@@ -476,24 +633,43 @@ def run_cascade(
     dnb_branches = branches[0]
     for b in branches[1:]:
         dnb_branches = dnb_branches.unionByName(b)
-    dnb_branches = dnb_branches.localCheckpoint()
+    # each probe decides under ITS branch's reference function: CU branches
+    # came through dnb_c_proccess (STATE rung), everything else through
+    # dnb_proccess (CITY + HQ rungs) — automation_final2.py:855-908 vs
+    # :957-961,1003,1124
+    dnb_branches = dnb_branches.withColumn(
+        "geo_mode",
+        F.when(F.col("stage").isin("cu_active", "cu_mna"), "state").otherwise(
+            "city"
+        ),
+    ).localCheckpoint()
 
-    # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq)
+    # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq, mode)
     SEP = "\u0001"  # cannot appear in normalized (lowercase-alnum) values
+    hit = dnb_branches.filter(F.col("dnb_name").isNotNull())
+    miss = dnb_branches.filter(F.col("dnb_name").isNull())
     dec_in = (
-        dnb_branches.select(
+        hit.select(
             F.col("dnb_name").alias("best_name"),
             F.col("m_city_norm").alias("m_city"),
             F.col("m_state"),
             F.col("hq_city"),
+            F.col("geo_mode"),
         )
         .distinct()
         .withColumn(
             "probe_key",
-            F.concat_ws(SEP, "best_name", "m_city", "m_state", "hq_city"),
+            F.concat_ws(
+                SEP, "best_name", "m_city", "m_state", "hq_city", "geo_mode"
+            ),
         )
         .withColumn("best_dist", F.lit(None).cast("double"))
     )
+    _DEC_COLS = [
+        "gdun", "match_status", "rung", "fj_duns", "list_of_duns",
+        "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
+        "list_of_gdun_names", "refit_capped",
+    ]
     # group_refit: the city/HQ tie-break re-fits a fresh TF-IDF on each
     # matched group's own cities (reference-exact V5 semantics) — and saves
     # the registry-wide city-IDF build job the previous divergence needed
@@ -504,25 +680,46 @@ def run_cascade(
         probe_state="m_state",
         probe_hq="hq_city",
         group_refit=True,
-    ).select(
-        "probe_key", "gdun", "match_status", "list_of_duns",
-        "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
-        "list_of_gdun_names",
-    ).localCheckpoint()
+        mode_col="geo_mode",
+    ).select("probe_key", *_DEC_COLS).localCheckpoint()
 
     resolved = (
-        dnb_branches.withColumn(
+        hit.withColumn(
             "probe_key",
-            F.concat_ws(SEP, "dnb_name", "m_city_norm", "m_state", "hq_city"),
+            F.concat_ws(
+                SEP, "dnb_name", "m_city_norm", "m_state", "hq_city", "geo_mode"
+            ),
         )
         .join(decided, "probe_key")
         .select(
-            *PROBE_KEYS, "stage", "gdun", "match_status",
+            *PROBE_KEYS, "stage", "gdun", "match_status", "rung", "fj_duns",
             F.col("dnb_name").alias("best_name"),
             F.col("dnb_dist").alias("best_dist"),
             "list_of_duns",
             "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
-            "list_of_gdun_names",
+            "list_of_gdun_names", "refit_capped", "active_city_dist",
+        )
+    )
+    # DNB-hop misses: Manual-terminal at their branch's priority (reference
+    # dnb_proccess/dnb_c_proccess dist > 0.2 -> Manual, DUNS_count=-1,
+    # dun_num=-1, automation_final2.py:658-675,815-827)
+    resolved = resolved.unionByName(
+        miss.select(
+            *PROBE_KEYS, "stage",
+            F.lit(GDUN_MANUAL).cast("long").alias("gdun"),
+            F.lit("manual").alias("match_status"),
+            F.lit("manual").alias("rung"),
+            F.lit(-1).cast("long").alias("fj_duns"),
+            F.lit(None).cast("string").alias("best_name"),
+            F.lit(None).cast("double").alias("best_dist"),
+            F.array().cast("array<long>").alias("list_of_duns"),
+            F.lit(None).cast("double").alias("min_city_dist"),
+            F.lit(-1).cast("long").alias("n_duns"),
+            F.lit(None).cast("long").alias("min_duns"),
+            F.array().cast("array<long>").alias("list_of_gduns"),
+            F.array().cast("array<string>").alias("list_of_gdun_names"),
+            F.lit(False).alias("refit_capped"),
+            F.col("active_city_dist"),
         )
     )
     for t in terminals:
@@ -531,6 +728,8 @@ def run_cascade(
                 *PROBE_KEYS, "stage",
                 F.lit(GDUN_LIQUIDATED).cast("long").alias("gdun"),
                 F.lit("liquidated").alias("match_status"),
+                F.lit("liquidated").alias("rung"),
+                F.lit(-1).cast("long").alias("fj_duns"),
                 "best_name", "best_dist",
                 F.array().cast("array<long>").alias("list_of_duns"),
                 F.lit(None).cast("double").alias("min_city_dist"),
@@ -538,6 +737,8 @@ def run_cascade(
                 F.lit(None).cast("long").alias("min_duns"),
                 F.array().cast("array<long>").alias("list_of_gduns"),
                 F.array().cast("array<string>").alias("list_of_gdun_names"),
+                F.lit(False).alias("refit_capped"),
+                F.lit(None).cast("double").alias("active_city_dist"),
             )
         )
 
@@ -554,17 +755,23 @@ def run_cascade(
         .drop("rk")
     )
 
+    ms = F.coalesce("match_status", F.lit("manual"))
     out = m.join(resolved, PROBE_KEYS, "left").join(diag, "m_norm", "left").select(
         "mention_id",
         "raw_name",
         "m_norm",
+        # mention geo keys pass through to the SPNV compat view
+        # (COMPRESSES_SEC_PARTY_CITY/STATE, automation_final2.py:1508-1521)
+        "m_city_norm",
+        "m_state",
         F.when(F.col("is_corp"), "corporate")
         .when(F.col("is_cu"), "credit_union")
         .otherwise("bank")
         .alias("route"),
         F.coalesce("stage", F.lit("manual")).alias("stage"),
         F.coalesce("gdun", F.lit(GDUN_MANUAL).cast("long")).alias("gdun"),
-        F.coalesce("match_status", F.lit("manual")).alias("match_status"),
+        ms.alias("match_status"),
+        F.coalesce("rung", F.lit("manual")).alias("rung"),
         "best_name",
         "best_dist",
         # comma-joined string, the reference's own LIST_OF_DUNS format
@@ -580,21 +787,25 @@ def run_cascade(
         .otherwise("N")
         .alias("match_ind"),
         # audit columns for the SPNV compat view: the per-registry pass-1
-        # distances (NULL when that registry had no accepted match), the DNB
-        # decision's city-rung distance, and the matched group's DUNS/GDUN
-        # rollups (reference persists these for manual review,
-        # automation_final2.py:1508-1521)
+        # distances (NULL when that registry had no accepted match), the
+        # FDIC-branch city-probe distance, the DNB decision's city-rung
+        # distance, and the WINNING RUNG's DUNS/GDUN rollups (reference
+        # persists these for manual review, automation_final2.py:1508-1521)
         F.col("active_name_dist"),
+        F.col("active_city_dist"),
         F.col("inactive_title_dist"),
         F.col("cu_active_dist"),
         F.col("cu_mna_dist"),
         F.col("cu_closed_dist"),
         F.col("min_city_dist").alias("dnb_city_dist"),
-        F.col("n_duns").alias("duns_count"),
-        # FJ_DUNS semantics: the DUNS itself when the matched group has
-        # exactly one, -1 when ambiguous (automation_final2.py:466-470)
-        F.when(F.col("n_duns") == 1, F.col("min_duns"))
-        .when(F.col("n_duns") > 1, F.lit(-1))
+        # Manual rows: DUNS_count=-1 / dun_num=-1 (automation_final2.py
+        # :658-675); matched/multiple rows carry the winning rung's rollup
+        F.when(ms == "manual", F.lit(-1))
+        .otherwise(F.col("n_duns"))
+        .cast("long")
+        .alias("duns_count"),
+        F.when(ms == "manual", F.lit(-1))
+        .otherwise(F.col("fj_duns"))
         .cast("long")
         .alias("fj_duns"),
         F.concat_ws(
@@ -604,6 +815,7 @@ def run_cascade(
             ",",
             F.coalesce("list_of_gdun_names", F.array().cast("array<string>")),
         ).alias("list_of_gdun_names"),
+        F.coalesce("refit_capped", F.lit(False)).alias("refit_capped"),
     )
     # FJ_GDUN_NAME on success = the winning gdun's GL_ULT_NAM (reference sets
     # gdun_name from the matched row, :455,:547): a join against the

@@ -208,7 +208,11 @@ def er_full_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG
     from gduns_name_match_spark.plans.cascade import run_cascade
 
     f = fx.generate(n_docs=120, seed=42)
-    mentions = fx.truth_df(spark, f).select("mention_id", "raw_name")
+    # city/state ride along so the driver entry exercises the reference's
+    # city/state/HQ decision rungs, not just the name rung
+    mentions = fx.truth_df(spark, f).select(
+        "mention_id", "raw_name", "city", "state"
+    )
     return run_cascade(spark, mentions, fx.registries(spark, f))
 
 

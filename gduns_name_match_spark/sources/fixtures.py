@@ -259,21 +259,21 @@ def generate(
         for i, name in enumerate(_MNA_OLD_CUS)
     }
 
-    def _draw_entity() -> tuple[str, str, int, str | None]:
-        """(canonical, kind, true_gdun, expected_status) for one mention."""
+    def _draw_entity() -> tuple[str, str, int, str | None, EntityGroup | None]:
+        """(canonical, kind, true_gdun, expected_status, group) per mention."""
         r = rng.random()
         if r < 0.02 and _RETIRED_CUS:
-            return rng.choice(_RETIRED_CUS), "cu", -21000, "liquidated"
+            return rng.choice(_RETIRED_CUS), "cu", -21000, "liquidated", None
         if r < 0.04 and _LQ_BANKS:
-            return rng.choice(_LQ_BANKS), "bank", -21000, "liquidated"
+            return rng.choice(_LQ_BANKS), "bank", -21000, "liquidated", None
         if r < 0.06 and _RENAMED_BANKS:
             name = rng.choice(_RENAMED_BANKS)
-            return name, "bank", renamed_parent[name].gdun, "title_change"
+            return name, "bank", renamed_parent[name].gdun, "title_change", None
         if r < 0.08 and _MNA_OLD_CUS:
             name = rng.choice(_MNA_OLD_CUS)
-            return name, "cu", mna_parent[name].gdun, "cu_mna"
+            return name, "cu", mna_parent[name].gdun, "cu_mna", None
         g = rng.choice(groups)
-        return g.canonical, g.kind, g.gdun, None
+        return g.canonical, g.kind, g.gdun, None, g
 
     # documents: interleaved spans with strictly increasing offsets
     documents_rows: list[dict] = []
@@ -292,7 +292,7 @@ def generate(
                     prose = " ".join(rng.choices(_PROSE_WORDS, k=rng.randint(3, 8)))
                     spans.append(("text", prose, "", offset))
                 offset += rng.randint(1, 5)
-            canonical, kind, true_gdun, expected_status = _draw_entity()
+            canonical, kind, true_gdun, expected_status, group = _draw_entity()
             mention = _perturb(canonical, kind, rng, typos=typos)
             # CU-branch truths hold only if the perturbed mention still
             # passes the reference's suffix gate; otherwise the row ends in
@@ -303,6 +303,15 @@ def generate(
                 and not _cu_gate(mention)
             ):
                 true_gdun, expected_status = -1, "manual_gate"
+            # ~60% of normal mentions carry the geography of one of their
+            # entity's registry rows (the reference's current_run rows carry
+            # CITY/STATE) — these exercise the city/state/HQ decision rungs;
+            # the rest stay geo-less like round-3's corpus
+            if group is not None and group.members and rng.random() < 0.6:
+                member = rng.choice(group.members)
+                m_city, m_state = member["city"], member["st"]
+            else:
+                m_city, m_state = "", ""
             span_pos = len(spans)
             spans.append(("name", mention, "", offset))
             offset += rng.randint(1, 5)
@@ -312,6 +321,8 @@ def generate(
                     "doc_id": doc_id,
                     "span_pos": span_pos,
                     "raw_name": mention,
+                    "city": m_city,
+                    "state": m_state,
                     "true_gdun": true_gdun,
                     # excluded from pairwise-F1 labels: ambiguous names (no
                     # single truth cluster) and sentinel-path entities
@@ -333,7 +344,15 @@ def generate(
         branches = rng.randint(1, 3)
         hq = rng.randrange(branches)
         for b in range(branches):
-            city, st = rng.choice(_CITIES)
+            # FDIC branch cities correlate with the bank's DNB registry
+            # cities (same physical institution) half the time — this is
+            # what lets a city-carrying mention pass the reference's FDIC
+            # city gate (active_proccess :981)
+            if g.members and rng.random() < 0.5:
+                m = rng.choice(g.members)
+                city, st = m["city"], m["st"]
+            else:
+                city, st = rng.choice(_CITIES)
             fdic_rows.append(
                 {
                     "fdic_id": fdic_id, "name": g.canonical, "city": city,

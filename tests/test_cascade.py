@@ -67,32 +67,77 @@ def test_normal_mentions_accuracy(cascade_result):
     assert ok / n >= 0.99, f"cascade accuracy {ok}/{n}"
 
 
-def test_ambiguous_twins_get_multiple(cascade_result):
-    """Same-name twin groups: -67000 multiple, unless a tie-break rung
-    (geo-less mentions: only the FDIC HQ rung can fire) legitimately picks
-    ONE of the two twins — the reference resolves exactly this way via the
-    MAINOFF=1 headquarters city (automation_final2.py:560-600)."""
+def test_ambiguous_twins_go_manual_without_geo(cascade_result):
+    """Same-name twin groups with NO mention geography: reference-exact
+    Manual (-1). dnb_proccess with a blank city fails the city rung, the
+    name rung sees two gduns, there is no HQ, and the fall-through is the
+    Manual return (automation_final2.py:658-675) — round 3's engine emitted
+    -67000 here, which the reference reserves for a FIRED-but-ambiguous
+    city/state/HQ rung (ADVICE r03 item 2). The -67000 paths are asserted
+    with city-carrying mentions in test_city_rung_reference_semantics."""
     amb = cascade_result.filter(
         F.col("ambiguous") & F.col("expected_status").isNull()
     )
     if amb.count() == 0:
         pytest.skip("no ambiguous twins sampled")
-    allowed = {"multiple_gduns", "matched_hq_tiebreak"}
+    bad = amb.filter(
+        (F.col("match_status") != "manual") | (F.col("gdun") != -1)
+    )
+    assert bad.count() == 0, bad.select(
+        "raw_name", "stage", "gdun", "match_status"
+    ).collect()
+
+
+@pytest.fixture(scope="module")
+def cascade_result_geo(spark):
+    """The same corpus WITH mention city/state — exercises the FDIC city
+    gate, the city/state decision rungs, and city-based twin disambiguation."""
+    f = fx.generate(n_docs=400, seed=5)
+    mentions = fx.truth_df(spark, f).select(
+        "mention_id", "raw_name", "city", "state"
+    )
+    dec = run_cascade(spark, mentions, fx.registries(spark, f))
+    truth = fx.truth_df(spark, f).select(
+        "mention_id", "true_gdun", "ambiguous", "expected_status",
+        F.col("city").alias("t_city"),
+    )
+    joined = truth.join(dec, "mention_id").persist()
+    joined.count()
+    return joined
+
+
+def test_geo_mentions_accuracy(cascade_result_geo):
+    """City-carrying unambiguous mentions resolve through the city rung (or
+    the name rung) to the true gdun."""
+    normal = cascade_result_geo.filter(
+        ~F.col("ambiguous") & (F.col("t_city") != "")
+    )
+    n = normal.count()
+    assert n > 50, "fixture produced too few geo mentions"
+    ok = normal.filter(F.col("gdun") == F.col("true_gdun")).count()
+    assert ok / n >= 0.99, f"geo cascade accuracy {ok}/{n}"
+
+
+def test_geo_twins_city_rung(cascade_result_geo):
+    """Twin-name mentions WITH a city decide at the city rung exactly like
+    the reference: the argmin-city subset has one gdun → that twin; the twin
+    group shares the city → terminal -67000 (never a silent wrong pick)."""
+    amb = cascade_result_geo.filter(
+        F.col("ambiguous")
+        & F.col("expected_status").isNull()
+        & (F.col("t_city") != "")
+    )
+    if amb.count() == 0:
+        pytest.skip("no city-carrying twins sampled")
+    # CU-routed twins decide at the STATE rung (dnb_c_proccess mode)
+    allowed = {"matched_city_tiebreak", "matched_state_tiebreak", "multiple_gduns"}
     bad = amb.filter(~F.col("match_status").isin(*allowed))
     assert bad.count() == 0, bad.select(
         "raw_name", "stage", "gdun", "match_status"
     ).collect()
-    multi = amb.filter(F.col("match_status") == "multiple_gduns")
-    assert multi.filter(F.col("gdun") != -67000).count() == 0
-    # an HQ resolution must land on one of the two twin gduns
-    hq = amb.filter(F.col("match_status") == "matched_hq_tiebreak")
-    twin = F.when(
-        F.col("true_gdun") < 90_000, F.col("true_gdun") + 90_000
-    ).otherwise(F.col("true_gdun") - 90_000)
-    wrong_hq = hq.filter(
-        (F.col("gdun") != F.col("true_gdun")) & (F.col("gdun") != twin)
-    )
-    assert wrong_hq.count() == 0, wrong_hq.select(
+    matched = amb.filter(F.col("match_status").startswith("matched_"))
+    wrong = matched.filter(F.col("gdun") != F.col("true_gdun"))
+    assert wrong.count() == 0, wrong.select(
         "raw_name", "gdun", "true_gdun"
     ).collect()
 
@@ -116,9 +161,64 @@ def _empty(spark, schema):
 
 
 def test_hq_tiebreak_and_match_ind(spark):
-    """Reference automation_final2.py:560-600/995-996: when name, city and
-    state rungs all fail, the MAINOFF=1 branch city of the matched FDIC
-    record decides; OLD_GDUN drives the match_ind audit (:472-479)."""
+    """Reference HQ chain (automation_final2.py:975-1009 → 560-600): the
+    mention city matches a non-HQ FDIC branch city, so the FDIC branch
+    proceeds to DNB carrying HQ = that cert's MAINOFF=1 city; in DNB the
+    city rung fails (no 'portland' row), the name rung sees two gduns, and
+    the HQ rung resolves at the argmin HQ city subset. OLD_GDUN drives the
+    match_ind audit (:472-479)."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "alpha bank", "Springfield", "IL", 100),
+            (2, "alpha bank", "Shelby", "TN", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [
+            (10, "alpha bank", "Portland", "OR", 0),
+            (10, "alpha bank", "Springfield", "IL", 1),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = _empty(
+        spark,
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "alpha bank", "Portland", "OR", 100),
+            ("m2", "alpha bank", "Portland", "OR", 999),
+        ],
+        "mention_id string, raw_name string, city string, state string, old_gdun long",
+    )
+    out = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()
+    by_id = {r.mention_id: r for r in out}
+    assert by_id["m1"].stage == "fdic_active"
+    assert by_id["m1"].gdun == 100
+    assert by_id["m1"].match_status == "matched_hq_tiebreak"
+    assert by_id["m1"].match_ind == "Y"
+    # the HQ rung's rollups describe the argmin-HQ-city subset (springfield)
+    assert by_id["m1"].duns_count == 1 and by_id["m1"].fj_duns == 1
+    assert by_id["m1"].active_city_dist == 0.0  # portland matched exactly
+    assert by_id["m2"].gdun == 100
+    assert by_id["m2"].match_ind == "N"
+
+
+def test_fdic_city_fail_no_geo_goes_manual(spark):
+    """Reference parity for the OLD hq-test fixture: a mention whose city
+    matches NO FDIC branch city never reaches DNB through the FDIC branch
+    (active_proccess city gate, automation_final2.py:981/:1052); it falls to
+    the DNB fallback on its own name, where city fails, the name rung sees
+    two gduns, there is no HQ → Manual (:658-675). Round 3 resolved this via
+    an always-on min-MAINOFF-city HQ rung — a documented divergence, closed."""
     from gduns_name_match_spark.plans.cascade import Registries, run_cascade
 
     dnb = spark.createDataFrame(
@@ -139,23 +239,60 @@ def test_hq_tiebreak_and_match_ind(spark):
     )
     cu = _empty(spark, "ncua_id long, name string, city string, state string")
     mentions = spark.createDataFrame(
-        [
-            ("m1", "alpha bank", "Nowhere", "ZZ", 100),
-            ("m2", "alpha bank", "Nowhere", "ZZ", 999),
-        ],
+        [("m1", "alpha bank", "Nowhere", "ZZ", 100)],
         "mention_id string, raw_name string, city string, state string, old_gdun long",
     )
     out = run_cascade(
         spark, mentions,
         Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
     ).collect()
-    by_id = {r.mention_id: r for r in out}
-    assert by_id["m1"].stage == "fdic_active"
-    assert by_id["m1"].gdun == 100
-    assert by_id["m1"].match_status == "matched_hq_tiebreak"
-    assert by_id["m1"].match_ind == "Y"
-    assert by_id["m2"].gdun == 100
-    assert by_id["m2"].match_ind == "N"
+    (m1,) = out
+    assert m1.stage == "dnb_fallback"
+    assert m1.gdun == -1 and m1.match_status == "manual"
+    assert m1.duns_count == -1 and m1.fj_duns == -1  # reference Manual fills
+
+
+def test_fdic_state_fallback_branch(spark):
+    """Reference :1140-1155/:1221-1231 ('Fdic name and state matching and
+    unique ID'): city-failed FDIC match + unique cert + state equality →
+    DNB on the FDIC name, HQ = the name's single MAINOFF=1 city."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "alpha bank", "Springfield", "IL", 100),
+            (2, "alpha bank", "Shelby", "TN", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [
+            (10, "alpha bank", "Eugene", "OR", 0),
+            (10, "alpha bank", "Springfield", "IL", 1),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = _empty(
+        spark,
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    # city 'Nowhere' fails the FDIC city gate; state OR equals the Eugene row
+    mentions = spark.createDataFrame(
+        [("m1", "alpha bank", "Nowhere", "OR", None)],
+        "mention_id string, raw_name string, city string, state string, old_gdun long",
+    )
+    out = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()
+    (m1,) = out
+    assert m1.stage == "fdic_state"
+    # DNB: city rung fails, name rung sees {100, 200}, HQ=springfield
+    # resolves at the argmin-HQ subset
+    assert m1.gdun == 100
+    assert m1.match_status == "matched_hq_tiebreak"
 
 
 def test_match_ind_null_without_old_gdun(cascade_result):
@@ -174,6 +311,112 @@ def test_gate_broken_cu_mentions_manual(cascade_result):
     assert bad.count() == 0, bad.select(
         "raw_name", "stage", "gdun", "match_status"
     ).collect()
+
+
+def test_city_rung_reference_semantics(spark):
+    """ADVICE r03 item 2's exact scenario, closed: the city rung tests gdun
+    uniqueness within the ARGMIN-city subset (matc1 = matc[CITY==dnb_city],
+    automation_final2.py:445-452), fires BEFORE the name rung, and is
+    terminal in both directions."""
+    from gduns_name_match_spark.operators.resolve import resolve_gdun
+
+    reg = spark.createDataFrame(
+        [
+            # nearest city unique-gdun, but a SECOND accepted city under a
+            # different gdun: reference matches 101; round-3's
+            # all-accepted-cities test fell through to -67000
+            (1, 101, "acmebank", "eastport", "NY"),
+            (2, 102, "acmebank", "eastportt", "CT"),
+            # unique-gdun group: with an accepted city the reference returns
+            # from the CITY rung ('Data from DNB'), not the name rung
+            (3, 300, "solobank", "omaha", "NE"),
+            (4, 300, "solobank", "tulsa", "OK"),
+            # two gduns AT the argmin city: terminal -67000 even though the
+            # probe also carries an HQ that would resolve (no fall-through)
+            (5, 501, "twinbank", "boise", "ID"),
+            (6, 502, "twinbank", "boise", "ID"),
+            (7, 501, "twinbank", "fargo", "ND"),
+        ],
+        "duns_num long, gl_ult_dun long, norm_name string, norm_city string, st string",
+    )
+    best = spark.createDataFrame(
+        [
+            ("p1", "acmebank", 0.0, "eastport", "", ""),
+            ("p2", "solobank", 0.0, "omaha", "", ""),
+            ("p3", "twinbank", 0.0, "boise", "", "fargo"),
+        ],
+        "probe_key string, best_name string, best_dist double, "
+        "m_city string, m_state string, hq_city string",
+    )
+    out = {
+        r["probe_key"]: r
+        for r in resolve_gdun(
+            best, reg, probe_id="probe_key", probe_city="m_city",
+            probe_state="m_state", probe_hq="hq_city", group_refit=True,
+            geo_mode="city",
+        ).collect()
+    }
+    p1 = out["p1"]
+    assert p1["gdun"] == 101 and p1["match_status"] == "matched_city_tiebreak"
+    assert p1["n_duns"] == 1 and p1["fj_duns"] == 1  # rollups over matc1
+    p2 = out["p2"]
+    assert p2["gdun"] == 300
+    assert p2["match_status"] == "matched_city_tiebreak"  # city BEFORE name
+    assert p2["n_duns"] == 1 and p2["list_of_duns"] == [3]
+    p3 = out["p3"]
+    assert p3["gdun"] == -67000 and p3["match_status"] == "multiple_gduns"
+    assert p3["n_duns"] == 2 and p3["list_of_duns"] == [5, 6]  # boise subset
+    assert p3["fj_duns"] == -1
+
+
+def test_hq_multi_cert_selection_reference_parity(spark):
+    """VERDICT r03 task 6 (documented divergence 2, closed): a matched FDIC
+    name with multiple MAINOFF=1 certs in different cities. The reference
+    picks the cert at the mention's matched city and uses ITS headquarters
+    (automation_final2.py:992-1009); round 3 took the deterministic min
+    MAINOFF city of the whole name — here those disagree ('ashland' is the
+    min city but belongs to the OTHER cert)."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "beta bank", "Zanesville", "OH", 100),
+            (2, "beta bank", "Shelby", "TN", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [
+            # cert 11: branch in Dayton, HQ in Zanesville
+            (11, "beta bank", "Dayton", "OH", 0),
+            (11, "beta bank", "Zanesville", "OH", 1),
+            # cert 12: HQ in Ashland (the min-city pick round 3 would take)
+            (12, "beta bank", "Ashland", "KY", 1),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = _empty(
+        spark,
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    # mention city Dayton → matched city subset = cert 11 alone → HQ must be
+    # Zanesville (cert 11's MAINOFF city), never Ashland
+    mentions = spark.createDataFrame(
+        [("m1", "beta bank", "Dayton", "OH", None)],
+        "mention_id string, raw_name string, city string, state string, old_gdun long",
+    )
+    out = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()
+    (m1,) = out
+    assert m1.stage == "fdic_active"
+    # DNB city rung fails (no dayton), name rung sees {100, 200}, the HQ
+    # rung probes with ZANESVILLE and resolves gdun 100; the min-city HQ
+    # (ashland) would have gone Manual
+    assert m1.gdun == 100 and m1.match_status == "matched_hq_tiebreak"
 
 
 def test_group_refit_city_tiebreak_reference_parity(spark):

@@ -13,7 +13,11 @@ def small_cascade(spark):
     from gduns_name_match_spark.plans.cascade import run_cascade
 
     f = fx.generate(n_docs=40, seed=11)
-    mentions = fx.truth_df(spark, f).select("mention_id", "raw_name")
+    # city/state ride along: the compat view persists the compressed geo keys
+    # and the FDIC-branch audit distances only exist when mentions carry geo
+    mentions = fx.truth_df(spark, f).select(
+        "mention_id", "raw_name", "city", "state"
+    )
     return run_cascade(spark, mentions, fx.registries(spark, f)).persist()
 
 
@@ -59,9 +63,20 @@ def test_spnv_audit_distances_populated(small_cascade):
     dnb_decided = view.filter(F.col("FJ_GDUN") > 0)
     assert dnb_decided.count() > 0
     assert dnb_decided.filter(F.col("DNB_NAME_DISTANCE").isNull()).count() == 0
-    # matched rows carry the winner's GL_ULT_NAM; DUNS_COUNT the group rollup
+    # matched rows carry the winner's GL_ULT_NAM; DUNS_COUNT the winning
+    # rung's rollup
     assert dnb_decided.filter(F.col("FJ_GDUN_NAME").isNull()).count() == 0
     assert dnb_decided.filter(F.col("DUNS_COUNT") < 1).count() == 0
+    # the compressed mention geo keys pass through (VERDICT r03 task 3)
+    assert view.filter(F.col("COMPRESSES_SEC_PARTY_CITY").isNull()).count() == 0
+    assert (
+        view.filter(F.col("COMPRESSES_SEC_PARTY_CITY") != "").count() > 0
+    ), "no city-carrying mention reached the view"
+    # FDIC-branch rows carry the real city-probe distance
+    fdic_gated = view.filter(
+        (F.col("SOURCE") == "FDIC") & F.col("ACTIVE_CITY_DISTANCE").isNotNull()
+    )
+    assert fdic_gated.count() == fdic.count()
     comments = {
         r["COMMENTS"]
         for r in view.select("COMMENTS").distinct().collect()
@@ -73,18 +88,24 @@ def test_spnv_audit_distances_populated(small_cascade):
         "Data from DNB using Headquaters",
         "Data from credit unions closed (unique id)",
     }
-    composed = {c for c in comments if c.startswith("Multiple GDUNS found,")}
-    # everything else is the Manual rung's echoed input name (reference
-    # Comments=inp) — must equal the COMPRESSES_SEC_PARTY_NAME of its row
+    composed = {c for c in comments if c.startswith("Multiple GDUNS found")}
+    # Manual rows echo their branch's `inp` literal (reference :650-673)
+    from gduns_name_match_spark.operators.compat import _STAGE_MANUAL_COMMENT
+
     manual = view.filter(F.col("FJ_GDUN") == -1)
+    manual_literals = set(_STAGE_MANUAL_COMMENT.values())
     for r in manual.collect():
-        assert r["COMMENTS"] == r["COMPRESSES_SEC_PARTY_NAME"]
+        assert r["COMMENTS"] is None or r["COMMENTS"] in manual_literals
         assert r["FJ_GDUN_NAME"] == "Manual"
-    manual_names = {r["COMMENTS"] for r in manual.collect()}
-    assert comments <= known | composed | manual_names
+        # reference Manual fills: DUNS_count=-1, dun_num=-1
+        assert r["DUNS_COUNT"] == -1 and r["FJ_DUNS"] == -1
+    manual_comments = {
+        r["COMMENTS"] for r in manual.collect() if r["COMMENTS"] is not None
+    }
+    assert comments <= known | composed | manual_comments
     multi = view.filter(F.col("FJ_GDUN") == -67000)
     for r in multi.collect():
-        assert r["COMMENTS"].startswith("Multiple GDUNS found,")
+        assert r["COMMENTS"].startswith("Multiple GDUNS found")
         assert r["FJ_GDUN_NAME"].startswith("Multiple GDUNS found,")
 
 
