@@ -189,7 +189,12 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         F.col("cu_active_dist").cast("double").alias("CREDIT_UNION_ACTIVE_DIST"),
         F.col("cu_closed_dist").cast("double").alias("CREDIT_UNION_CLOSED_DIST"),
         F.col("cu_mna_dist").cast("double").alias("CREDIT_UNION_MNA_DIST"),
-        nl().alias("TEMP1"),
-        ns().alias("TEMP2"),
+        # TEMP1: the reference stamps every row with its input-frame index
+        # (automation_final2.py:1480) — the per-mention group marker the
+        # -45000 collapse groups by; a stable hash of the mention id is the
+        # engine's order-independent equivalent. TEMP2='Y' marks multi-parent
+        # emissions (:1137).
+        F.abs(F.xxhash64("mention_id")).alias("TEMP1"),
+        F.col("temp2").alias("TEMP2"),
         F.col("list_of_duns").alias("LIST_OF_DUNS"),
     )

@@ -559,6 +559,85 @@ RELATIONAL_QUERIES["transitive_root_chase"] = (
 )
 
 
+# A4/post — the reference's -45000 multi-parent collapse end-to-end
+# (spnv_match_file2.py:55-131) through the REAL collapse_spnv_groups
+# operator: a deterministic SPNV_MATCH_RAW-shaped frame derived from the
+# customer table (TEMP1 = nation group marker, TEMP2='Y'), collapsed to one
+# spnv_match_FILE row per group with the reference's composed strings,
+# summed DUNS_COUNT and first-row identity pick.
+def q_spnv_collapse(spark, sf_dir):
+    from gduns_name_match_spark.operators.postprocess import collapse_spnv_groups
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 < 3)
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    view = c.select(
+        F.col("c_custkey").cast("string").alias("PERM_ID"),
+        F.col("c_name").alias("SEC_PARTY_CMN_NM"),
+        ns.alias("SEC_PARTY_COMPRESS_CMN_NM"),
+        ns.alias("SEC_PARTY_ADDR_CITY_NM"),
+        ns.alias("SEC_PARTY_ADDR_STATE_CD"),
+        nl.alias("FLININGS_COUNT"),
+        nl.alias("WK_DUNS"),
+        ns.alias("WK_GDUN_NAME"),
+        nl.alias("WK_GDUN"),
+        ns.alias("COMPRESSES_SEC_PARTY_NAME"),
+        ns.alias("COMPRESSES_SEC_PARTY_CITY"),
+        ns.alias("COMPRESSES_SEC_PARTY_STATE"),
+        F.col("c_custkey").cast("long").alias("FJ_GDUN"),
+        F.col("c_name").alias("FJ_GDUN_NAME"),
+        ns.alias("MATCH_IND"),
+        F.col("c_name").alias("FJ_DUN_NAME"),
+        nl.alias("FJ_DUNS"),
+        (F.col("c_custkey") % 7).cast("long").alias("DUNS_COUNT"),
+        F.col("c_mktsegment").alias("FINAL_FDIC_PARENT"),
+        F.lit("DNB").alias("SOURCE"),
+        ns.alias("DETAIL_INFO"),
+        ns.alias("COMMENTS"),
+        ns.alias("CREDIT_UNION_PARENT"),
+        F.col("c_custkey").cast("string").alias("LIST_OF_DUNS"),
+        F.col("c_nationkey").cast("long").alias("TEMP1"),
+        F.lit("Y").alias("TEMP2"),
+    )
+    out = collapse_spnv_groups(view)
+    return out.select(
+        F.col("PERM_ID").alias("perm_id"),
+        F.col("FJ_GDUN").alias("fj_gdun"),
+        F.col("FJ_GDUN_NAME").alias("fj_gdun_name"),
+        F.col("FJ_DUN_NAME").alias("fj_dun_name"),
+        F.col("FJ_DUNS").alias("fj_duns"),
+        F.col("DUNS_COUNT").cast("bigint").alias("duns_count"),
+        F.col("FDIC_PARENT").alias("fdic_parent"),
+        F.col("SOURCE").alias("source"),
+        F.col("COMMENTS").alias("comments"),
+        F.col("LIST_OF_DUNS").alias("list_of_duns"),
+    )
+
+
+SQL_SPNV_COLLAPSE = """
+WITH y AS (
+  SELECT c_nationkey AS g, c_custkey AS id, c_name AS nm,
+         c_mktsegment AS seg, c_custkey % 7 AS dc
+  FROM customer WHERE c_custkey % 10 < 3)
+SELECT cast(min(id) AS varchar) AS perm_id,
+       cast(-45000 AS bigint) AS fj_gdun,
+       'multiple fdic parents gduns: '
+         || string_agg(',' || nm, '' ORDER BY id) AS fj_gdun_name,
+       'multiple fdic parents duns: '
+         || string_agg(',' || nm, '' ORDER BY id) AS fj_dun_name,
+       cast(-1 AS bigint) AS fj_duns,
+       cast(sum(dc) AS bigint) AS duns_count,
+       string_agg(',' || seg, '' ORDER BY id) AS fdic_parent,
+       string_agg(',DNB', '' ORDER BY id) AS source,
+       'multiple fdic parents gduns: '
+         || string_agg(',' || cast(id AS varchar), '' ORDER BY id) AS comments,
+       string_agg(cast(id AS varchar), ',' ORDER BY id) AS list_of_duns
+FROM y GROUP BY g
+"""
+
+RELATIONAL_QUERIES["spnv_collapse"] = (q_spnv_collapse, SQL_SPNV_COLLAPSE)
+
+
 # Registry-refresh end-to-end (reference fdic_events.py:32-67,379-392):
 # base batch ∪ watermark-gated new batch → latest-event-wins effective
 # parents → ultimate root via pointer doubling → 'a+b' SOURCE trail along

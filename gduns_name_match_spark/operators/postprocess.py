@@ -49,6 +49,105 @@ def collapse_multi_parent(
     return collapsed.unionByName(single, allowMissingColumns=True)
 
 
+# spnv_match_FILE insert column order (spnv_match_file2.py:133-146)
+SPNV_MATCH_FILE_COLUMNS = [
+    "PERM_ID", "SEC_PARTY_CMN_NM", "SEC_PARTY_COMPRESS_CMN_NM",
+    "SEC_PARTY_ADDR_CITY_NM", "SEC_PARTY_ADDR_STATE_CD", "FLININGS_COUNT",
+    "WK_DUNS", "WK_GDUN_NAME", "WK_GDUN", "COMPRESSES_SEC_PARTY_NAME",
+    "COMPRESSES_SEC_PARTY_CITY", "COMPRESSES_SEC_PARTY_STATE", "FJ_GDUN",
+    "FJ_GDUN_NAME", "MATCH_IND", "FJ_DUN_NAME", "FJ_DUNS", "DUNS_COUNT",
+    "FDIC_PARENT", "SOURCE", "DETAIL_INFO", "COMMENTS",
+    "CREDIT_UNION_PARENT", "LIST_OF_DUNS", "TEMP1",
+]
+
+
+def collapse_spnv_groups(view: DataFrame) -> DataFrame:
+    """The reference's multi-parent collapse (spnv_match_file2.py:55-131),
+    set-at-a-time: SPNV_MATCH_RAW rows WHERE TEMP2='Y', grouped by TEMP1,
+    collapse to ONE spnv_match_FILE row each with
+
+    * FJ_GDUN = -45000, FJ_DUNS = -1, MATCH_IND/TEMP1 = NULL;
+    * FJ_GDUN_NAME = 'multiple fdic parents gduns: ' + ',<name>' per row
+      (:69-76), FJ_DUN_NAME the same over FJ_DUN_NAME (:81-88), COMMENTS the
+      same over the FJ_GDUN ids (:104-110);
+    * DUNS_COUNT = sum of the group's DUNS_COUNTs (:90-95);
+    * FDIC_PARENT / SOURCE = ',<v>' concatenations (:96-103);
+    * LIST_OF_DUNS = plain concatenation of the already-comma-led strings
+      (:111-116); identity columns from the group's first row (:58-71).
+
+    'First row' is frame order in the reference; here the deterministic
+    minimum of (FJ_GDUN, FJ_GDUN_NAME) orders both the identity pick and
+    every concatenation, so the operator is stable under any partitioning
+    (and a DuckDB twin can replicate it with ORDER BY)."""
+    y = view.filter(F.col("TEMP2") == "Y")
+    ordk = F.struct(
+        F.col("FJ_GDUN").alias("g"), F.col("FJ_GDUN_NAME").alias("n")
+    )
+    row = F.struct(
+        ordk.alias("_k"),
+        *[
+            F.col(c).alias(c)
+            for c in view.columns
+            if c not in ("TEMP1", "TEMP2")
+        ],
+    )
+    agg = y.groupBy("TEMP1").agg(
+        F.sort_array(F.collect_list(row)).alias("_rows"),
+        F.sum("DUNS_COUNT").alias("_duns_sum"),
+    )
+    first = F.get("_rows", 0)
+
+    def cat(col, prefix=""):
+        # ','-led concatenation in group order: xe=xe+','+str(v)
+        return F.concat(
+            F.lit(prefix),
+            F.array_join(
+                F.transform(
+                    "_rows", lambda r: F.concat(F.lit(","), r[col].cast("string"))
+                ),
+                "",
+            ),
+        )
+
+    ns = lambda: F.lit(None).cast("string")  # noqa: E731
+    return agg.select(
+        first["PERM_ID"].alias("PERM_ID"),
+        first["SEC_PARTY_CMN_NM"].alias("SEC_PARTY_CMN_NM"),
+        first["SEC_PARTY_COMPRESS_CMN_NM"].alias("SEC_PARTY_COMPRESS_CMN_NM"),
+        first["SEC_PARTY_ADDR_CITY_NM"].alias("SEC_PARTY_ADDR_CITY_NM"),
+        first["SEC_PARTY_ADDR_STATE_CD"].alias("SEC_PARTY_ADDR_STATE_CD"),
+        first["FLININGS_COUNT"].alias("FLININGS_COUNT"),
+        first["WK_DUNS"].alias("WK_DUNS"),
+        first["WK_GDUN_NAME"].alias("WK_GDUN_NAME"),
+        first["WK_GDUN"].alias("WK_GDUN"),
+        first["COMPRESSES_SEC_PARTY_NAME"].alias("COMPRESSES_SEC_PARTY_NAME"),
+        first["COMPRESSES_SEC_PARTY_CITY"].alias("COMPRESSES_SEC_PARTY_CITY"),
+        first["COMPRESSES_SEC_PARTY_STATE"].alias("COMPRESSES_SEC_PARTY_STATE"),
+        F.lit(GDUN_MULTI_PARENT).cast("long").alias("FJ_GDUN"),
+        cat("FJ_GDUN_NAME", "multiple fdic parents gduns: ").alias("FJ_GDUN_NAME"),
+        ns().alias("MATCH_IND"),
+        cat("FJ_DUN_NAME", "multiple fdic parents duns: ").alias("FJ_DUN_NAME"),
+        F.lit(-1).cast("long").alias("FJ_DUNS"),
+        F.col("_duns_sum").cast("long").alias("DUNS_COUNT"),
+        cat("FINAL_FDIC_PARENT").alias("FDIC_PARENT"),
+        cat("SOURCE").alias("SOURCE"),
+        first["DETAIL_INFO"].alias("DETAIL_INFO"),
+        cat("FJ_GDUN", "multiple fdic parents gduns: ").alias("COMMENTS"),
+        first["CREDIT_UNION_PARENT"].alias("CREDIT_UNION_PARENT"),
+        # the reference concatenates its ','-led per-row strings back to back
+        # (:111-116); the engine's LIST_OF_DUNS strings carry no leading
+        # comma, so a ',' join reproduces the same one-flat-list shape
+        F.array_join(
+            F.filter(
+                F.transform("_rows", lambda r: r["LIST_OF_DUNS"].cast("string")),
+                lambda s: s != "",
+            ),
+            ",",
+        ).alias("LIST_OF_DUNS"),
+        F.lit(None).cast("long").alias("TEMP1"),
+    )
+
+
 def explode_duns_details(df: DataFrame) -> DataFrame:
     """One row per DUNS from the capped list, only for multi-DUNS rows
     (duns_table.py:29 filter duns_count>1; :36-53 split/clean/cast)."""

@@ -483,6 +483,7 @@ def run_cascade(
 
     empty_hq = F.lit("").alias("hq_city")
     no_acd = F.lit(None).cast("double").alias("active_city_dist")
+    no_parent = F.lit(None).cast("string").alias("parent_norm")
 
     def _dnb_branch(base: DataFrame, first_hop: DataFrame, stage: str) -> DataFrame:
         """base ⋈ first_hop(m_norm → t_norm) ⋈ best2 → branch rows carrying
@@ -500,6 +501,7 @@ def run_cascade(
             F.col("dnb_dist"),
             empty_hq,
             no_acd,
+            no_parent,
         )
 
     branches = []
@@ -511,13 +513,13 @@ def run_cascade(
     branches.append(
         corp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_corporate").alias("stage"),
-            "dnb_name", "dnb_dist", empty_hq, no_acd,
+            "dnb_name", "dnb_dist", empty_hq, no_acd, no_parent,
         )
     )
     branches.append(
         noncorp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_fallback").alias("stage"),
-            "dnb_name", "dnb_dist", empty_hq, no_acd,
+            "dnb_name", "dnb_dist", empty_hq, no_acd, no_parent,
         )
     )
 
@@ -545,6 +547,7 @@ def run_cascade(
             "dnb_name", "dnb_dist",
             F.coalesce("hq_city", F.lit("")).alias("hq_city"),
             F.col("active_city_dist"),
+            no_parent,
         )
     )
 
@@ -580,19 +583,38 @@ def run_cascade(
             .otherwise(F.lit(""))
             .alias("hq_city"),
             F.col("active_city_dist"),
+            no_parent,
         )
     )
 
     ev_meta = tag_best("events").join(
         name_parents.select(F.col("norm_name").alias("best_name"), "source"),
         "best_name",
-    ).join(
-        chained.select(F.col("norm_name").alias("best_name"), "ultimate_parent"),
-        "best_name", "left",
     )
-    tc_hop = ev_meta.filter(F.col("source") != "LQ").select(
-        "m_norm", F.coalesce("ultimate_parent", "best_name").alias("t_norm")
+    # one hop per DISTINCT parent of the matched events name, each chased to
+    # its ultimate root: a single-parent name behaves exactly as before
+    # (root(parent) == root(child)); a MULTI-parent name emits one branch
+    # row per parent — the reference's list_of_vari accumulation
+    # (automation_final2.py:1090-1137), which the output marks TEMP2='Y' and
+    # spnv_match_file2 collapses to -45000 (engine divergence, documented:
+    # the reference counts city-ACCEPTED parents, the engine all distinct
+    # parents — its city probes need mention geo the corpus often lacks)
+    parents_all = events.filter(F.col("parent_norm") != "").select(
+        F.col("norm_name").alias("best_name"), "parent_norm"
+    ).distinct()
+    par_root = parents_all.join(
+        chained.select(
+            F.col("norm_name").alias("parent_norm"),
+            F.col("ultimate_parent").alias("p_root"),
+        ),
+        "parent_norm", "left",
+    ).select(
+        "best_name", "parent_norm",
+        F.coalesce("p_root", "parent_norm").alias("t_norm"),
     )
+    tc_hop = ev_meta.filter(F.col("source") != "LQ").join(
+        par_root, "best_name"
+    ).select("m_norm", "t_norm", "parent_norm")
     # the parent chase belongs to rows WITHOUT an accepted FDIC-active match
     # (reference :1243 else-path): an active bank that also appears in the
     # events file resolves through its own active identity, not its chain —
@@ -602,7 +624,15 @@ def run_cascade(
     tc_base = bank_mb.join(
         fdic_hop.select("m_norm").distinct(), "m_norm", "left_anti"
     )
-    branches.append(_dnb_branch(tc_base, tc_hop, "title_change"))
+    branches.append(
+        tc_base.join(tc_hop, "m_norm")
+        .join(best2, "t_norm", "left")
+        .select(
+            *PROBE_KEYS, F.lit("title_change").alias("stage"),
+            "dnb_name", "dnb_dist", empty_hq, no_acd,
+            F.col("parent_norm"),
+        )
+    )
 
     # terminal (no-DNB) branches: liquidations
     terminals = []
@@ -698,6 +728,7 @@ def run_cascade(
             "list_of_duns",
             "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
             "list_of_gdun_names", "refit_capped", "active_city_dist",
+            "parent_norm",
         )
     )
     # DNB-hop misses: Manual-terminal at their branch's priority (reference
@@ -720,6 +751,7 @@ def run_cascade(
             F.array().cast("array<string>").alias("list_of_gdun_names"),
             F.lit(False).alias("refit_capped"),
             F.col("active_city_dist"),
+            F.col("parent_norm"),
         )
     )
     for t in terminals:
@@ -739,20 +771,38 @@ def run_cascade(
                 F.array().cast("array<string>").alias("list_of_gdun_names"),
                 F.lit(False).alias("refit_capped"),
                 F.lit(None).cast("double").alias("active_city_dist"),
+                F.lit(None).cast("string").alias("parent_norm"),
             )
         )
 
-    # ---- cascade priority: first (lowest-rank) succeeding branch wins
+    # ---- cascade priority: first (lowest-rank) succeeding branch wins.
+    # A multi-parent title_change winner keeps ALL its per-parent rows (the
+    # reference's list_of_vari block, automation_final2.py:1090-1137) and
+    # marks them TEMP2='Y' for the -45000 collapse; every other stage keeps
+    # exactly its deterministic top row. The three windows share one
+    # hashpartitioning(PROBE_KEYS) exchange.
     stage_rank = F.lit(None).cast("int")
     for name, rank in STAGE_RANK.items():
         stage_rank = F.when(F.col("stage") == name, rank).otherwise(stage_rank)
     w = Window.partitionBy(*PROBE_KEYS).orderBy(
-        stage_rank.asc(), F.col("best_dist").asc_nulls_last(), F.col("best_name").asc()
+        stage_rank.asc(), F.col("best_dist").asc_nulls_last(),
+        F.col("best_name").asc_nulls_last(), F.col("parent_norm").asc_nulls_last(),
     )
+    w_all = Window.partitionBy(*PROBE_KEYS)
     resolved = (
         resolved.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .withColumn("_win_stage", F.min(F.struct(stage_rank.alias("r"), F.col("stage").alias("s"))).over(w_all)["s"])
+        .filter(
+            (F.col("rk") == 1)
+            | ((F.col("stage") == F.col("_win_stage")) & (F.col("stage") == "title_change"))
+        )
+        .withColumn(
+            "temp2",
+            F.when(F.count("*").over(w_all) > 1, F.lit("Y")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .drop("rk", "_win_stage")
     )
 
     ms = F.coalesce("match_status", F.lit("manual"))
@@ -816,6 +866,10 @@ def run_cascade(
             F.coalesce("list_of_gdun_names", F.array().cast("array<string>")),
         ).alias("list_of_gdun_names"),
         F.coalesce("refit_capped", F.lit(False)).alias("refit_capped"),
+        # multi-parent group marker (reference TEMP1=input row index :1480,
+        # TEMP2='Y' on multi-parent emission :1137): one group per mention
+        F.col("temp2"),
+        F.col("parent_norm"),
     )
     # FJ_GDUN_NAME on success = the winning gdun's GL_ULT_NAM (reference sets
     # gdun_name from the matched row, :455,:547): a join against the

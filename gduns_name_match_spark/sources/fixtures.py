@@ -117,6 +117,10 @@ _MNA_OLD_CUS = [  # old CU name → merged into an active CU group
     "tri county postal credit union",
     "harbor city municipal credit union",
 ]
+_MULTI_PARENT_BANKS = [  # old name with TWO distinct event parents →
+    # multi-parent emission (TEMP2='Y') → -45000 collapse
+    "ozark plains merchants bank",
+]
 
 
 def _media_ref(rng: random.Random) -> str:
@@ -272,6 +276,10 @@ def generate(
         if r < 0.08 and _MNA_OLD_CUS:
             name = rng.choice(_MNA_OLD_CUS)
             return name, "cu", mna_parent[name].gdun, "cu_mna", None
+        if r < 0.09 and _MULTI_PARENT_BANKS:
+            # two distinct event parents → all per-parent decision rows are
+            # kept (TEMP2='Y'); the -45000 truth lands after the collapse
+            return rng.choice(_MULTI_PARENT_BANKS), "bank", -45000, "multi_parent", None
         g = rng.choice(groups)
         return g.canonical, g.kind, g.gdun, None, g
 
@@ -402,6 +410,19 @@ def generate(
              "parent_name": parent.canonical, "effdate": "2020-09-01",
              "source": "TC", "new_event_ind": 0}
         )
+    # multi-parent: the SAME old name carries events to TWO distinct active
+    # parents (reference list_of_vari emission, automation_final2.py:1090-1137)
+    for i, name in enumerate(_MULTI_PARENT_BANKS):
+        for j in range(2):
+            parent = bank_groups_for_parents[
+                (i + j) % len(bank_groups_for_parents)
+            ]
+            fdic_event_rows.append(
+                {"fdic_id": 82_000 + 2 * i + j, "name": name,
+                 "parent_fdic_id": 3_000, "parent_name": parent.canonical,
+                 "effdate": f"2020-0{j + 1}-15", "source": "TC",
+                 "new_event_ind": 0}
+            )
     for i, name in enumerate(_MNA_OLD_CUS):
         parent = mna_parent[name]
         cu_mna_rows.append(

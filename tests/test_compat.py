@@ -109,6 +109,58 @@ def test_spnv_audit_distances_populated(small_cascade):
         assert r["FJ_GDUN_NAME"].startswith("Multiple GDUNS found,")
 
 
+def test_multi_parent_emission_and_collapse(spark):
+    """A mention whose matched events name has TWO distinct parents keeps
+    BOTH per-parent decision rows marked TEMP2='Y' (reference list_of_vari,
+    automation_final2.py:1090-1137), and the compat view collapses each
+    group to ONE -45000 row with summed DUNS_COUNT and the reference's
+    composed strings (spnv_match_file2.py:55-131)."""
+    from pyspark.sql import functions as F
+
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.operators.postprocess import (
+        collapse_spnv_groups,
+    )
+    from gduns_name_match_spark.plans.cascade import run_cascade
+
+    f = fx.generate(n_docs=400, seed=5)
+    truth = fx.truth_df(spark, f)
+    mp_ids = [
+        r["mention_id"]
+        for r in truth.filter(F.col("expected_status") == "multi_parent").collect()
+    ]
+    if not mp_ids:
+        pytest.skip("no multi-parent mentions sampled")
+    mentions = truth.select("mention_id", "raw_name", "city", "state")
+    dec = run_cascade(spark, mentions, fx.registries(spark, f)).persist()
+    sub = dec.filter(F.col("mention_id").isin(mp_ids)).collect()
+    by_mention: dict[str, list] = {}
+    for r in sub:
+        by_mention.setdefault(r["mention_id"], []).append(r)
+    for mid, rows in by_mention.items():
+        assert len(rows) == 2, f"{mid}: expected 2 per-parent rows"
+        assert {r["temp2"] for r in rows} == {"Y"}
+        assert len({r["parent_norm"] for r in rows}) == 2
+        assert all(r["stage"] == "title_change" for r in rows)
+    # single-decision mentions never carry the multi-parent marker
+    rest = dec.filter(
+        ~F.col("mention_id").isin(mp_ids) & F.col("temp2").isNotNull()
+    )
+    assert rest.count() == 0
+    view = to_spnv_match_raw(dec)
+    collapsed = collapse_spnv_groups(view).persist()
+    assert collapsed.count() == len(mp_ids)
+    row = collapsed.first()
+    assert row["FJ_GDUN"] == -45000 and row["FJ_DUNS"] == -1
+    assert row["FJ_GDUN_NAME"].startswith("multiple fdic parents gduns: ,")
+    assert row["FJ_DUN_NAME"].startswith("multiple fdic parents duns: ,")
+    assert row["COMMENTS"].startswith("multiple fdic parents gduns: ,")
+    # DUNS_COUNT sums the per-parent rollups (each parent group has >=1 DUNS)
+    assert row["DUNS_COUNT"] >= 2
+    dec.unpersist()
+    collapsed.unpersist()
+
+
 def test_mna_transitions(spark):
     from gduns_name_match_spark.plans.events import mna_transitions
 
