@@ -115,6 +115,43 @@ def build_idf(registry_names: DataFrame, name_col: str = "norm_name") -> dict[st
     }
 
 
+def build_idf_by_tag(
+    tagged_names: DataFrame, tag_col: str = "tag", name_col: str = "norm_name"
+) -> dict[str, dict[str, float]]:
+    """Per-registry smooth-IDF tables in ONE aggregation pass.
+
+    The reference fits one TfidfVectorizer per registry TABLE — duplicates
+    included (create_KNN(dnb['NAME']) etc., automation_final2.py:400-407) —
+    so df(t) here counts rows per (tag, gram) over the non-distinct name
+    column. Same single-shuffle shape as build_idf, keyed by (tag, ngram);
+    the per-tag marker row carries n_docs. Output: {tag: {gram: idf}}."""
+    marker = "\x00DOC\x00"
+    grams = F.coalesce(
+        F.array_distinct(char_ngrams_col(F.col(name_col))),
+        F.array().cast("array<string>"),
+    )
+    rows = (
+        tagged_names.select(
+            F.col(tag_col).alias("_tag"),
+            F.explode(F.concat(F.array(F.lit(marker)), grams)).alias("ngram"),
+        )
+        .groupBy("_tag", "ngram")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    counts: dict[str, dict[str, int]] = {}
+    for r in rows:
+        counts.setdefault(r["_tag"], {})[r["ngram"]] = r["df"]
+    out: dict[str, dict[str, float]] = {}
+    for tag, cmap in counts.items():
+        n_docs = cmap.pop(marker, 0)
+        out[tag] = {
+            g: math.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+            for g, df in cmap.items()
+        }
+    return out
+
+
 def fit_idf_local(docs: list[str]) -> dict[str, float]:
     """Smooth IDF over a small in-memory document list — the per-group re-fit
     of the reference's city tie-break (TfidfVectorizer().fit(matc.CITY),
@@ -460,6 +497,37 @@ def _score_batch(
         for k in np.nonzero(cos <= 0.5)[0]:
             jw[k] = jaro_winkler(lvals[k], rvals[k])
     return cos, jw, tsr
+
+
+def make_tagged_cosine_udf(spark: SparkSession, idfs: dict[str, dict[str, float]]):
+    """Cosine distance under a PER-TAG IDF table: (left, right, tag) →
+    cos_dist, each row scored with its registry's own weights (the
+    reference's one-vectorizer-per-registry semantics). One broadcast of
+    the whole {tag: idf} map; the batch is split by tag and each slice runs
+    the same grouped searchsorted/reduceat kernel. Rows with an unknown tag
+    score 1.0 (no vocabulary)."""
+    bc = spark.sparkContext.broadcast(idfs)
+    tokens = {tag: _new_token(f"tag{i}") for i, tag in enumerate(sorted(idfs))}
+
+    @F.pandas_udf(T.DoubleType())
+    def tagged_cosine(left: pd.Series, right: pd.Series, tag: pd.Series) -> pd.Series:
+        table = bc.value
+        for tg, tok in tokens.items():
+            _register_idf(tok, table[tg])
+        lvals = left.fillna("").to_numpy()
+        rvals = right.fillna("").to_numpy()
+        tvals = tag.fillna("").to_numpy()
+        out = np.ones(len(lvals))
+        for tg in pd.unique(tvals):
+            tok = tokens.get(tg)
+            if tok is None:
+                continue
+            m = tvals == tg
+            cos, _jw, _tsr = _score_batch(lvals[m], rvals[m], tok, compute_jw=False)
+            out[m] = cos
+        return pd.Series(out)
+
+    return tagged_cosine
 
 
 def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):

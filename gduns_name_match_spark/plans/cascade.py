@@ -51,15 +51,18 @@ City/HQ tie-breaks use the reference-exact per-group TF-IDF re-fit
 (resolve_gdun(group_refit=True) → one applyInPandas over each matched
 group; round 2's registry-wide-IDF approximation is closed).
 
-Documented divergences: (1) the reference fits one vectorizer per registry —
-here a single engine-wide IDF over the union of registry names scores both
-passes (the 0.2 acceptor is insensitive to the re-weighting on
-non-degenerate vocabularies, asserted by the branch-parity tests and the
-adversarial per-registry fixture in tests/test_cascade.py); (2) the
-title-change branch resolves through the latest-event ultimate chained
-parent without the reference's per-parent city/state probes
-(automation_final2.py:1090-1137) — its multi-parent TEMP2='Y' emission is
-modeled on distinct accepted parents instead.
+Per-registry IDF (round-3 documented divergence 1, closed): every
+(probe, name, registry) row scores under ITS registry's own smooth-IDF,
+fit over the registry table's non-distinct name column exactly like the
+reference's one-TfidfVectorizer-per-table (automation_final2.py:400-407);
+the tables come from ONE tagged aggregation pass and ship as one broadcast
+(see build_idf_by_tag / make_tagged_cosine_udf, adversarial fixture in
+tests/test_cascade.py::test_per_registry_idf_reference_parity).
+
+Documented divergence: the title-change branch resolves through the
+latest-event ultimate chained parent without the reference's per-parent
+city/state probes (automation_final2.py:1090-1137) — its multi-parent
+TEMP2='Y' emission is modeled on distinct accepted parents instead.
 """
 
 from __future__ import annotations
@@ -75,7 +78,11 @@ from gduns_name_match_spark.functions.normalize import (
     normalize_city_col,
     normalize_name_col,
 )
-from gduns_name_match_spark.functions.similarity import build_idf, make_pair_scorer
+from gduns_name_match_spark.functions.similarity import (
+    build_idf_by_tag,
+    make_pair_scorer,
+    make_tagged_cosine_udf,
+)
 from gduns_name_match_spark.operators.blocking import (
     candidate_pairs,
     release_blocking_caches,
@@ -408,23 +415,74 @@ def run_cascade(
         targets = tf if targets is None else targets.unionByName(tf)
     targets = targets.filter(F.col("t_norm") != "").distinct().persist()
 
+    # per-registry smooth-IDF tables, ONE tagged aggregation pass over the
+    # NON-distinct name columns — the reference fits one TfidfVectorizer per
+    # registry table, duplicates included (create_KNN(dnb['NAME']) etc.,
+    # automation_final2.py:400-407). Round 3 scored everything under a
+    # single union-wide IDF (documented divergence 1); a registry whose
+    # vocabulary is degenerate vs the union (every CU sharing
+    # 'federalcreditunion' grams) ranks differently near the 0.2 threshold
+    # — closed by scoring each (probe, name, registry) row under ITS
+    # registry's weights (tests/test_cascade.py adversarial fixture).
+    idf_frames = [
+        dnb.select(F.lit("dnb").alias("tag"), "norm_name"),
+        fdic.select(F.lit("fdic").alias("tag"), "norm_name"),
+        events.select(F.lit("events").alias("tag"), "norm_name"),
+        cu.select(F.lit("cu").alias("tag"), "norm_name"),
+    ]
+    if cu_mna is not None:
+        idf_frames.append(cu_mna.select(F.lit("cu_mna").alias("tag"), "norm_name"))
+    if cu_closed is not None:
+        idf_frames.append(
+            cu_closed.select(F.lit("cu_closed").alias("tag"), "norm_name")
+        )
+    tagged_idf_input = idf_frames[0]
+    for fr in idf_frames[1:]:
+        tagged_idf_input = tagged_idf_input.unionByName(fr)
+    idfs = build_idf_by_tag(tagged_idf_input)
+
     # BOTH passes in ONE scoring job: probes = mentions ∪ targets. The
     # per-(probe, tag) argmin window serves pass 1 (mention → each registry's
     # best) and pass 2 (target → best DNB name) from the same accepted set.
-    idf = build_idf(all_names, "r_norm")
+    # Names carry their registry-membership tags as an ARRAY through the
+    # blocking join (no post-hoc tag join = no extra pair-stream shuffle);
+    # the pair explodes per tag and each row scores under its registry's IDF.
     probes = (
         m.select("m_norm").distinct()
         .union(targets.select(F.col("t_norm").alias("m_norm")))
         .distinct()
     )
-    accepted, pair_stats = _accepted_pairs(
-        spark, probes, all_names, idf, threshold, "m_norm", "r_norm"
+    names_tagged = reg_names.groupBy("r_norm").agg(
+        F.sort_array(F.collect_set("tag")).alias("tags")
     )
+    scorer = make_tagged_cosine_udf(spark, idfs)
+    blocking = candidate_pairs(
+        with_block_keys(probes, "m_norm"),
+        with_block_keys(names_tagged, "r_norm"),
+        probe_id="m_norm",
+        registry_id="r_norm",
+        n_salt=4,
+    )
+    len_ok = (
+        F.least(F.length("m_norm"), F.length("r_norm"))
+        >= 0.4 * F.greatest(F.length("m_norm"), F.length("r_norm"))
+    )
+    scored = (
+        blocking.pairs.filter(len_ok)
+        .withColumn("tag", F.explode("tags"))
+        .repartition(spark.sparkContext.defaultParallelism * 2, "m_norm")
+        .sortWithinPartitions("m_norm", "tag")
+        .withColumn(
+            "cos_dist",
+            scorer(F.col("m_norm"), F.col("r_norm"), F.col("tag")),
+        )
+    )
+    accepted = scored.filter(F.col("cos_dist") <= threshold)
     w1 = Window.partitionBy("m_norm", "tag").orderBy(
         F.col("cos_dist").asc(), F.col("r_norm").asc()
     )
     best_by_tag = (
-        accepted.join(reg_names, "r_norm")
+        accepted
         .withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") == 1)
         .select("m_norm", "tag", F.col("r_norm").alias("best_name"),
@@ -433,7 +491,7 @@ def run_cascade(
     )
     # the checkpoint above materialized the accepted pairs — the blocking
     # caches behind them are dead weight from here on
-    release_blocking_caches(pair_stats)
+    release_blocking_caches(blocking)
     best1 = best_by_tag.join(m.select("m_norm").distinct(), "m_norm", "left_semi")
 
     # per-mention per-registry best distances, pivoted wide — these become the

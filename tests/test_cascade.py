@@ -313,6 +313,71 @@ def test_gate_broken_cu_mentions_manual(cascade_result):
     ).collect()
 
 
+def test_per_registry_idf_reference_parity(spark):
+    """VERDICT r03 task 2 (documented divergence 1, closed): the reference
+    fits one TfidfVectorizer PER registry (automation_final2.py:400-407).
+    Adversarial construction: the CU registry's vocabulary is degenerate —
+    every name shares the 'federalcreditunion' suffix — while the union
+    registry is dominated by bank names where those grams are rare. Under
+    the union IDF the shared suffix carries near-distinguishing weight, so
+    a wrong-prefix probe is ACCEPTED (<= 0.2); under the CU registry's own
+    IDF the suffix weight collapses to the smooth-IDF floor and the probe
+    is correctly rejected. The engine must reproduce the per-registry
+    distances exactly."""
+    from gduns_name_match_spark.functions.similarity import (
+        build_idf_by_tag,
+        cosine_dist_local,
+        fit_idf_local,
+        make_tagged_cosine_udf,
+    )
+
+    cu_names = [f"{p}federalcreditunion" for p in (
+        "alpha", "bravo", "delta", "echo", "fox", "golf", "hotel", "india",
+        "juliet", "kilo", "lima", "mike", "nancy", "oscar", "papa", "quebec",
+    )]
+    bank_names = [f"{a}{b}nationalbank" for a in (
+        "first", "citizens", "farmers", "pioneer", "liberty", "summit",
+        "heritage", "golden", "valley", "lakeside", "prairie", "granite",
+    ) for b in ("iowa", "ohio", "texas", "utah", "idaho", "maine", "kansas",
+                "oregon", "dakota", "nevada")]
+    probe = "zuluxfederalcreditunion"  # prefix unseen in the CU registry
+
+    # sequential oracle of the reference's per-registry fit: the CU-only
+    # IDF must REJECT the probe's best CU candidate while the union IDF
+    # accepts it — otherwise the fixture is not adversarial
+    idf_cu = fit_idf_local(cu_names)
+    idf_union = fit_idf_local(cu_names + bank_names)
+    d_cu = min(cosine_dist_local(probe, c, idf_cu) for c in cu_names)
+    d_union = min(cosine_dist_local(probe, c, idf_union) for c in cu_names)
+    assert d_cu > 0.2 and d_union <= 0.2, (d_cu, d_union)
+
+    tagged = spark.createDataFrame(
+        [("cu", n) for n in cu_names] + [("dnb", n) for n in bank_names],
+        "tag string, norm_name string",
+    )
+    idfs = build_idf_by_tag(tagged)
+    # distributed build == local reference fit, per tag
+    for g, w in fit_idf_local(cu_names).items():
+        assert abs(idfs["cu"][g] - w) < 1e-12
+    scorer = make_tagged_cosine_udf(spark, idfs)
+    pairs = spark.createDataFrame(
+        [(probe, c, "cu") for c in cu_names]
+        + [(probe, cu_names[0], "dnb")],
+        "m_norm string, r_norm string, tag string",
+    )
+    scored = pairs.withColumn(
+        "cos_dist", scorer(F.col("m_norm"), F.col("r_norm"), F.col("tag"))
+    ).collect()
+    best_cu = min(r["cos_dist"] for r in scored if r["tag"] == "cu")
+    assert abs(best_cu - d_cu) < 1e-9
+    assert best_cu > 0.2  # the engine rejects, like the reference
+    # the SAME pair under the dnb registry's weights scores differently —
+    # per-row tag keying is real, not a single shared table
+    (dnb_row,) = [r for r in scored if r["tag"] == "dnb"]
+    cu_row = [r for r in scored if r["r_norm"] == cu_names[0] and r["tag"] == "cu"][0]
+    assert abs(dnb_row["cos_dist"] - cu_row["cos_dist"]) > 1e-6
+
+
 def test_city_rung_reference_semantics(spark):
     """ADVICE r03 item 2's exact scenario, closed: the city rung tests gdun
     uniqueness within the ARGMIN-city subset (matc1 = matc[CITY==dnb_city],
