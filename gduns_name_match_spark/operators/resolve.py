@@ -95,7 +95,7 @@ def _with_group_refit_dists(
     probe_city: str | None,
     probe_hq: str | None,
     city_cosine_udf=None,
-    max_group_rows: int = MAX_REFIT_GROUP_ROWS,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """city_dist / hq_dist via a PER-GROUP TF-IDF re-fit (the reference's
     exact V5 semantics, automation_final2.py:437-441,687-691 and the HQ
@@ -122,6 +122,8 @@ def _with_group_refit_dists(
         fit_idf_local,
     )
 
+    if max_group_rows is None:  # module global read at call time (testable)
+        max_group_rows = MAX_REFIT_GROUP_ROWS
     # group-size census rides the same hashpartitioning(probe_id) the kernel
     # and the decision agg need — no extra exchange
     w = Window.partitionBy(probe_id)

@@ -223,3 +223,42 @@ def test_streaming_match_documents(spark, tmpdir):
     )
     q.awaitTermination(300)
     assert spark.read.parquet(sink).count() == n2
+
+    # LATE / OUT-OF-ORDER arrival (VERDICT r03 task 9): a newly-arriving
+    # file re-delivers the FIRST corpus's documents (older than everything
+    # already processed) mixed with genuinely new ones. The file source
+    # treats it as a new batch (at-least-once), and the sink anti-join must
+    # keep decisions exactly-once per mention: only the new mentions append.
+    f3 = fx.generate(n_docs=10, seed=7)
+    late_docs = fx.documents_df(spark, f1).unionByName(
+        fx.documents_df(spark, f3)
+    )
+    late_docs.write.mode("append").parquet(docs_dir)
+    # fixture doc ids overlap across seeds — the genuinely new mentions are
+    # the f3 ids not already decided in the sink
+    f3_ids = {
+        f"{d['doc_id']}#{i}"
+        for d in f3.documents_rows
+        for i, s in enumerate(d["spans"])
+        if s[0] == "name"
+    }
+    already = {
+        r["mention_id"] for r in spark.read.parquet(sink).select("mention_id").collect()
+    }
+    n3_new = len(f3_ids - already)
+    q = streaming_match_documents(
+        spark, docs_dir, reg, f"{tmpdir}/sm_ckpt", sink, n_salt=4
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    assert out.count() == n2 + n3_new
+    assert out.select("mention_id").distinct().count() == n2 + n3_new
+    # the replayed f1 mentions kept their ORIGINAL single decision row
+    f1_ids = {
+        f"{d['doc_id']}#{i}"
+        for d in f1.documents_rows
+        for i, s in enumerate(d["spans"])
+        if s[0] == "name"
+    }
+    replayed = out.filter(F.col("mention_id").isin(list(f1_ids)))
+    assert replayed.count() == replayed.select("mention_id").distinct().count()

@@ -262,6 +262,55 @@ def test_flagship_entry_resolves_neardups(spark, tmp_path):
     assert statuses <= {"neardup_rep", "neardup_merged"} and "neardup_rep" in statuses
 
 
+def test_group_refit_cap_on_mega_fanout(spark):
+    """VERDICT r03 task 4: a franchise-style matched name with a huge
+    registry fan-out must NOT land as one pandas group on one worker. Groups
+    over the cap skip the applyInPandas re-fit (flagged refit_capped=True,
+    logged executor-side), degrade to no-city-tiebreak, and the decision
+    still completes; small groups in the same frame keep the re-fit path."""
+    from pyspark.sql import functions as F
+
+    from gduns_name_match_spark.operators import resolve as rz
+
+    n = 2_000
+    mega = spark.range(n).select(
+        F.col("id").alias("duns_num"),
+        (F.col("id") % 3 + 100).alias("gl_ult_dun"),
+        F.lit("megafranchise").alias("norm_name"),
+        F.concat(F.lit("city"), F.col("id") % 50).alias("norm_city"),
+        F.lit("TX").alias("st"),
+    )
+    small = spark.createDataFrame(
+        [(90_001, 500, "tinybank", "omaha", "NE")],
+        "duns_num long, gl_ult_dun long, norm_name string, norm_city string, st string",
+    )
+    reg = mega.unionByName(small)
+    best = spark.createDataFrame(
+        [
+            ("p1", "megafranchise", 0.0, "city7", ""),
+            ("p2", "tinybank", 0.0, "omaha", ""),
+        ],
+        "probe_key string, best_name string, best_dist double, m_city string, m_state string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(rz, "MAX_REFIT_GROUP_ROWS", 500):
+        out = {
+            r["probe_key"]: r
+            for r in rz.resolve_gdun(
+                best, reg, probe_id="probe_key", probe_city="m_city",
+                probe_state="m_state", group_refit=True, geo_mode="city",
+            ).collect()
+        }
+    p1 = out["p1"]
+    assert p1["refit_capped"] is True
+    # no city tie-break for the capped group: 3 gduns, no geo → manual
+    assert p1["match_status"] == "manual"
+    p2 = out["p2"]
+    assert p2["refit_capped"] is False
+    assert p2["gdun"] == 500 and p2["match_status"] == "matched_city_tiebreak"
+
+
 def test_flagship_entries_release_caches(spark, tmp_path, monkeypatch):
     """Repeated flagship invocations must not accumulate persisted frames
     (VERDICT r03 'What's wrong' #1: flagship_neardup leaked `texts`,
