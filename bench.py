@@ -32,8 +32,10 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 # changes shape — round 1's per-round bench silently reused a stale /tmp
 # fixture from an earlier generator (1.36M pairs vs the 8.45M baseline
 # corpus), making rounds incomparable
-_FIXTURE_VERSION = "v3"  # v3: array_distinct'd long keys (the v2 pairs
-# parquet carries ~4k duplicate pair copies from degenerate gmin==gmax keys)
+_FIXTURE_VERSION = "v4"  # v4: fixture generator draws mention geo + the
+# multi-parent entity (round 4) — the rng stream shifted, so v3 corpora are
+# not comparable. (v3: array_distinct'd long keys — the v2 pairs parquet
+# carried ~4k duplicate pair copies from degenerate gmin==gmax keys.)
 FIXTURE_DIR = Path(f"/tmp/gduns_bench_fixture_{_FIXTURE_VERSION}_{BENCH_DOCS}")
 
 
@@ -150,12 +152,21 @@ def run_er_pipeline(spark) -> tuple[int, float, float]:
     docs = spark.read.parquet(str(FIXTURE_DIR / "documents"))
     reg = spark.read.parquet(str(FIXTURE_DIR / "registry"))
     dt = float("inf")
+    best_stages: dict = {}
     for _ in range(3):
+        stages: dict = {}
         t0 = time.perf_counter()
-        res = match_documents(spark, docs, reg)
+        res = match_documents(spark, docs, reg, timings=stages)
         n_pairs = res.pairs_scored.count()
+        t1 = time.perf_counter()
         n_decided = res.decisions.filter(F.col("gdun") > 0).count()
-        dt = min(dt, time.perf_counter() - t0)
+        # the decision attach (mention join + measured broadcast/shuffle of
+        # the per-raw map) is the only action after decision_map
+        stages["decision_attach"] = round(time.perf_counter() - t1, 3)
+        wall = time.perf_counter() - t0
+        if wall < dt:
+            dt = wall
+            best_stages = stages
         # release the pipeline's persisted frames between reps and before
         # returning: at 400k docs the scored-pairs cache otherwise poisons
         # every measurement that follows (r02 observed a 17x per-query
@@ -163,7 +174,7 @@ def run_er_pipeline(spark) -> tuple[int, float, float]:
         res.release()
         spark.catalog.clearCache()
     assert n_decided > 0
-    return n_pairs, dt, n_pairs / dt
+    return n_pairs, dt, n_pairs / dt, best_stages
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -228,7 +239,7 @@ def bench_once(cpus: int, with_queries: bool) -> dict:
         # low level never saw — an asymmetry that systematically depressed
         # the e2e efficiency number (r02/early-r03). e2e releases its caches,
         # so the query timings that follow start clean.
-        e2e_pairs, e2e_dt, e2e_pps = run_er_pipeline(spark)
+        e2e_pairs, e2e_dt, e2e_pps, e2e_stages = run_er_pipeline(spark)
         queries = run_queries(spark) if with_queries else None
         result = {
             "cpus": cpus,
@@ -238,6 +249,7 @@ def bench_once(cpus: int, with_queries: bool) -> dict:
             "e2e_pairs": e2e_pairs,
             "er_seconds": round(e2e_dt, 3),
             "e2e_pairs_per_sec": round(e2e_pps, 1),
+            "e2e_stage_seconds": e2e_stages,
         }
         if queries is not None:
             result["queries"] = queries
@@ -291,6 +303,8 @@ def main() -> None:
             "high_pairs_per_sec": high["pairs_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "e2e_scaling_efficiency": round(e2e_eff, 3),
+            "e2e_stage_seconds_low": low["e2e_stage_seconds"],
+            "e2e_stage_seconds_high": high["e2e_stage_seconds"],
         }
         with open("BENCH.md", "a") as fh:
             fh.write(
@@ -300,6 +314,22 @@ def main() -> None:
                 f"local[{n_high}]: {high['pairs_per_sec']:.0f} p/s | "
                 f"score-stage eff {eff:.3f}; e2e eff {e2e_eff:.3f} |\n"
             )
+            # per-stage attribution: which pipeline actions scale with cores
+            # and which flat-line (VERDICT r04 task 1 evidence)
+            stages = sorted(
+                set(low["e2e_stage_seconds"]) | set(high["e2e_stage_seconds"])
+            )
+            fh.write(
+                f"\nPer-stage e2e wall (s), {BENCH_DOCS} docs, best-of-3 rep:\n\n"
+                "| stage | local[%d] | local[%d] | speedup |\n|---|---|---|---|\n"
+                % (n_low, n_high)
+            )
+            for s in stages:
+                lo = low["e2e_stage_seconds"].get(s)
+                hi = high["e2e_stage_seconds"].get(s)
+                sp = (lo / hi) if lo and hi else float("nan")
+                fh.write(f"| {s} | {lo} | {hi} | {sp:.2f}x |\n")
+            fh.write("\n")
     else:
         res = bench_once(CPUS, with_queries=True)
         payload = {
@@ -312,6 +342,7 @@ def main() -> None:
             "score_stage_seconds": res["score_stage_seconds"],
             "er_seconds": res["er_seconds"],
             "e2e_pairs_per_sec": res["e2e_pairs_per_sec"],
+            "e2e_stage_seconds": res["e2e_stage_seconds"],
             "cpus": res["cpus"],
         }
     print(json.dumps(payload))

@@ -17,6 +17,7 @@ degrades to shuffle joins.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,13 +124,27 @@ def match_documents(
     hot_key_threshold: int = 1_000,
     n_salt: int = 16,
     broadcast_decisions: bool | None = None,
+    timings: dict | None = None,
 ) -> MatchResult:
     """Flagship job: assign a GDUN (or sentinel) to every name span.
 
     ``registry`` is dnb_directory-shaped: (duns_num, company, city, st,
     gl_ult_dun, ...) with cur_rec_ind='Y' rows (filter applied here, mirroring
     the reference's source SQL automation_final2.py:62-139).
+
+    ``timings``: optional dict that receives per-stage wall seconds keyed by
+    the pipeline's ACTION boundaries (idf build, blocking key-stats,
+    fused block-join+score job, decision-map build) — the scaling-evidence
+    attribution BENCH.md reports (driver-side perf_counter around each
+    materializing action; zero effect on the plan).
     """
+    _t = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        if timings is not None:
+            timings[name] = round(now - _t[0], 3)
+        _t[0] = now
     mentions_raw = extract_name_mentions(documents)
     # Normalize AFTER deduplicating raw names, never per mention: the
     # normalize chain is ~20 regex/translate passes, and the mention stream
@@ -166,6 +181,7 @@ def match_documents(
     reg = reg.persist()
 
     idf = build_idf(reg, "norm_name")
+    _mark("idf_build")
     scorer = make_pair_scorer(spark, idf)
 
     # Score DISTINCT normalized-name pairs, never mention pairs: N mentions of
@@ -190,6 +206,9 @@ def match_documents(
         n_salt=n_salt,
     )
     pairs, key_stats = blocking.pairs, blocking.stats
+    # candidate_pairs collected the dropped-key census: normalize+keying of
+    # both sides plus the tagged-union key-count agg ran inside it
+    _mark("block_key_stats")
 
     # JVM-side prefilter: cosine distance <= 0.2 needs heavy n-gram overlap,
     # impossible when lengths diverge wildly. Loose 0.4 ratio — provably
@@ -224,9 +243,24 @@ def match_documents(
         )
         .persist()  # reused by pairs_scored diagnostics AND the decision path
     )
-    # materialize the scored cache now (the heaviest stage runs exactly once),
-    # then drop the keyed blocking inputs — nothing downstream reads them
-    scored.count()
+    # Materialize the scored cache THROUGH the best-match aggregate: one
+    # pass over the pair stream populates both the scored cache (persist
+    # intercepts every scanned partition) and the tiny per-probe best map.
+    # Round 3 ran scored.count() here and let the decision job re-scan the
+    # full cached pair stream — a second 8.4M-row columnar-decompress pass
+    # that was the single FLAT stage of the 400k scaling breakdown (≈2s at
+    # any core count, pure memory bandwidth). Then drop the keyed blocking
+    # inputs — nothing downstream reads them.
+    best = best_match_per_probe(
+        scored, probe_id="m_norm", threshold=threshold
+    ).select(
+        "m_norm",
+        F.col("r_norm").alias("best_name"),
+        F.col("cos_dist").alias("best_dist"),
+    ).persist()
+    best_cache_handle = best  # pre-broadcast-hint handle for release()
+    best.count()
+    _mark("block_join_score")
     release_blocking_caches(blocking, include_stats=False)
     # cached count (the blocking jobs populated the probes cache): broadcast
     # vs shuffle for the best-match map, decided by its measured row count;
@@ -236,13 +270,6 @@ def match_documents(
     else:
         small_probe_universe = broadcast_decisions
 
-    best = best_match_per_probe(
-        scored, probe_id="m_norm", threshold=threshold
-    ).select(
-        "m_norm",
-        F.col("r_norm").alias("best_name"),
-        F.col("cos_dist").alias("best_dist"),
-    )
     # best has <= n_probes tiny rows: broadcasting it turns the group fetch
     # (best x registry on best_name) into a map-side hash join — the registry
     # keeps its scan partitioning instead of shuffling by name
@@ -283,6 +310,7 @@ def match_documents(
         broadcast_raw = est_bytes <= BROADCAST_DECISIONS_MAX_BYTES
     else:
         broadcast_raw = broadcast_decisions
+    _mark("decision_map")
     if broadcast_raw:
         per_raw = F.broadcast(per_raw)
     decisions = fill_manual_defaults(
@@ -293,5 +321,8 @@ def match_documents(
         pairs_scored=scored,
         decisions=decisions,
         key_stats=key_stats,
-        _caches=(reg, scored, key_stats, probes, norm_map, per_raw),
+        _caches=(
+            reg, scored, key_stats, probes, norm_map, per_raw,
+            best_cache_handle,
+        ),
     )
