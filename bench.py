@@ -140,7 +140,7 @@ def run_scoring_stage(spark, cpus: int) -> tuple[int, float, float]:
     return n_pairs, dt, n_pairs / dt
 
 
-def run_er_pipeline(spark) -> tuple[int, float, float]:
+def run_er_pipeline(spark) -> tuple[int, float, float, dict]:
     """Full pipeline wall time (block→pair→score→resolve): best-of-3 full
     re-runs — the e2e number was a single shot through round 2, which on this
     VM carries up to 7x noise (BENCH.md) and made the e2e scaling efficiency
@@ -327,7 +327,11 @@ def main() -> None:
             for s in stages:
                 lo = low["e2e_stage_seconds"].get(s)
                 hi = high["e2e_stage_seconds"].get(s)
-                sp = (lo / hi) if lo and hi else float("nan")
+                sp = (
+                    lo / hi
+                    if lo is not None and hi is not None and hi > 0
+                    else float("nan")
+                )
                 fh.write(f"| {s} | {lo} | {hi} | {sp:.2f}x |\n")
             fh.write("\n")
     else:

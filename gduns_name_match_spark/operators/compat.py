@@ -85,8 +85,17 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         F.when(F.col("list_of_gdun_names") != "", F.col("list_of_gdun_names"))
         .otherwise(F.col("list_of_gduns")),
     )
-    # Manual rows persist the branch's `inp` literal as COMMENTS (:650-673)
-    manual_comment = F.lit(None).cast("string")
+    # Manual rows persist the branch's `inp` literal as COMMENTS (:650-673).
+    # Mentions with NO branch row at all (stage='manual') took the reference
+    # route's own dnb_proccess call: corporate = spnv_check1's literal
+    # (:1471), everything else the fallback's '' (:1249).
+    manual_comment = F.when(
+        F.col("stage") == "manual",
+        F.when(
+            F.col("route") == "corporate",
+            F.lit("non banking/non credit union entities"),
+        ).otherwise(F.lit("")),
+    )
     for stage, lit in _STAGE_MANUAL_COMMENT.items():
         manual_comment = F.when(F.col("stage") == stage, F.lit(lit)).otherwise(
             manual_comment
@@ -153,7 +162,13 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         F.col("gdun").cast("long").alias("FJ_GDUN"),
         gdun_name.alias("FJ_GDUN_NAME"),
         F.col("match_ind").alias("MATCH_IND"),
-        F.col("best_name").alias("FJ_DUN_NAME"),
+        # Manual rows carry dnb_name='Manual' in the reference (:659,:666),
+        # never NULL — which also keeps the -45000 collapse's composed
+        # FJ_DUN_NAME list aligned with its gdun list when a multi-parent
+        # group contains a DNB-missed parent
+        F.when(F.col("match_status") == "manual", F.lit("Manual"))
+        .otherwise(F.col("best_name"))
+        .alias("FJ_DUN_NAME"),
         F.col("fj_duns").cast("long").alias("FJ_DUNS"),
         F.col("duns_count").cast("long").alias("DUNS_COUNT"),
         src.alias("SOURCE"),

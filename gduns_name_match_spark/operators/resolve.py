@@ -409,10 +409,17 @@ def resolve_gdun(
             joined = joined.withColumn("hq_dist", F.lit(1.0))
         joined = joined.withColumn("refit_capped", F.lit(False))
 
-    # the state rung is the same expression on either distance path
+    # the state rung is the same expression on either distance path. The
+    # '' guard mirrors the HQ rung's: a geo-less probe (m_state='') must
+    # never terminally "state-match" a registry row whose state is blank —
+    # the reference's mention-side ' ' fill vs registry-side NaN also never
+    # compares equal (dnb_c_proccess :694)
     joined = joined.withColumn(
         "state_eq",
-        (F.col(probe_state) == F.col("g_state")).cast("int")
+        (
+            (F.col(probe_state) != "")
+            & (F.col(probe_state) == F.col("g_state"))
+        ).cast("int")
         if probe_state is not None
         else F.lit(0),
     )

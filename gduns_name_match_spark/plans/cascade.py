@@ -84,6 +84,7 @@ from gduns_name_match_spark.functions.similarity import (
     make_tagged_cosine_udf,
 )
 from gduns_name_match_spark.operators.blocking import (
+    BlockingResult,
     candidate_pairs,
     release_blocking_caches,
     with_block_keys,
@@ -164,7 +165,7 @@ def _accepted_pairs(
     threshold: float,
     probe_col: str,
     name_col: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> "tuple[DataFrame, BlockingResult]":
     """One blocking + salted join + Arrow-batched scoring job; returns the
     accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
     BlockingResult handle — the caller must release_blocking_caches(handle)
@@ -217,8 +218,12 @@ def _fdic_city_gate(probe_hits: DataFrame, fdic: DataFrame) -> DataFrame:
     * fit a fresh TF-IDF on the matched FDIC name group's OWN cities and
       probe with the mention city (:976-980); the bank branch proceeds to
       DNB only when that distance accepts (<= 0.2) — on failure the row
-      falls to the title-change/credit/DNB-fallback chain (:1052-1060),
-      which the cascade's priority window already models;
+      falls to the fdic_state / credit / DNB-fallback branches via the
+      priority window (the reference also probes the title-change chain
+      there with per-parent geo gates, :1052-1137 — a documented
+      divergence: the engine's city-blind parent chase would mis-resolve
+      those rows, so FDIC-matched names never enter it; geo-less rows end
+      Manual in the reference's parent loop anyway, temp_50=0 :1203-1219);
     * the HQ city comes from the CERT at the matched (argmin) city — the
       single row there, else the unique cert there, else the unique cert
       after the nearest-state disambiguation probe within that city subset
@@ -596,7 +601,10 @@ def run_cascade(
     # cert whose MAINOFF=1 city becomes the HQ tie-break (reference
     # active_proccess :975-1050; see _fdic_city_gate)
     fdic_hop = tag_best("fdic").select("m_norm", F.col("best_name").alias("t_norm"))
-    fdic_gate = _fdic_city_gate(bank_mb.join(fdic_hop, "m_norm"), fdic)
+    # persisted: the gate output feeds BOTH the fdic_active branch (city
+    # accepted) and the fdic_state fallback (city failed) — without it the
+    # applyInPandas kernel and its probe x FDIC-branch join execute twice
+    fdic_gate = _fdic_city_gate(bank_mb.join(fdic_hop, "m_norm"), fdic).persist()
     branches.append(
         fdic_gate.filter(F.col("city_accepted"))
         .join(best2, "t_norm", "left")
@@ -652,11 +660,14 @@ def run_cascade(
     # one hop per DISTINCT parent of the matched events name, each chased to
     # its ultimate root: a single-parent name behaves exactly as before
     # (root(parent) == root(child)); a MULTI-parent name emits one branch
-    # row per parent — the reference's list_of_vari accumulation
-    # (automation_final2.py:1090-1137), which the output marks TEMP2='Y' and
-    # spnv_match_file2 collapses to -45000 (engine divergence, documented:
-    # the reference counts city-ACCEPTED parents, the engine all distinct
-    # parents — its city probes need mention geo the corpus often lacks)
+    # row per parent — the reference enumerates the FULL unique parent list
+    # (list_1 = matc22.PARENT_NAME.unique(), :1152-1156, NOT latest-only;
+    # latest-wins applies only to the functional chase graph and the LQ/
+    # source pick) and accumulates one list_of_vari row per parent
+    # (:1090-1137), which the output marks TEMP2='Y' and spnv_match_file2
+    # collapses to -45000 (engine divergence, documented: the reference
+    # counts city-ACCEPTED parents, the engine all distinct parents — its
+    # city probes need mention geo the corpus often lacks)
     parents_all = events.filter(F.col("parent_norm") != "").select(
         F.col("norm_name").alias("best_name"), "parent_norm"
     ).distinct()
@@ -674,11 +685,14 @@ def run_cascade(
         par_root, "best_name"
     ).select("m_norm", "t_norm", "parent_norm")
     # the parent chase belongs to rows WITHOUT an accepted FDIC-active match
-    # (reference :1243 else-path): an active bank that also appears in the
-    # events file resolves through its own active identity, not its chain —
-    # the reference only reaches the chain via city-gated parent probes the
-    # engine models as this anti-join (documented divergence: with geo
-    # present, a city-accepted parent chain could win there)
+    # (reference :1243 else-path). An active bank that also appears in the
+    # events file is excluded even when its city gate failed: the reference
+    # does probe the chain there, but gates EVERY parent on its own
+    # city/state (:1090-1137) and lands Manual when none accepts
+    # (temp_50=0, :1203-1219) — the engine's parent chase is city-blind, so
+    # letting those rows in would resolve through a parent the reference
+    # would reject (documented divergence; with geo present a city-accepted
+    # parent chain could legitimately win there)
     tc_base = bank_mb.join(
         fdic_hop.select("m_norm").distinct(), "m_norm", "left_anti"
     )

@@ -378,6 +378,32 @@ def test_per_registry_idf_reference_parity(spark):
     assert abs(dnb_row["cos_dist"] - cu_row["cos_dist"]) > 1e-6
 
 
+def test_state_rung_blank_state_guard(spark):
+    """A geo-less probe (m_state='') must NEVER terminally state-match a
+    registry row whose state is blank (code-review r04 finding): the rung
+    fires only on a real, non-empty equality — mirroring the HQ rung's ''
+    guard and the reference's mention-' '-vs-registry-NaN never-equal."""
+    from gduns_name_match_spark.operators.resolve import resolve_gdun
+
+    reg = spark.createDataFrame(
+        [
+            (1, 101, "blankbank", "omaha", ""),
+            (2, 102, "blankbank", "tulsa", "OK"),
+        ],
+        "duns_num long, gl_ult_dun long, norm_name string, norm_city string, st string",
+    )
+    best = spark.createDataFrame(
+        [("p1", "blankbank", 0.0, "", "")],
+        "probe_key string, best_name string, best_dist double, m_city string, m_state string",
+    )
+    row = resolve_gdun(
+        best, reg, probe_id="probe_key", probe_city="m_city",
+        probe_state="m_state", group_refit=True, geo_mode="state",
+    ).collect()[0]
+    # no state rung, name not unique, state mode has no HQ → Manual
+    assert row["match_status"] == "manual" and row["gdun"] == -1
+
+
 def test_city_rung_reference_semantics(spark):
     """ADVICE r03 item 2's exact scenario, closed: the city rung tests gdun
     uniqueness within the ARGMIN-city subset (matc1 = matc[CITY==dnb_city],
