@@ -47,6 +47,9 @@ _STAGE_SOURCE = {
     "fdic_state": "FDIC",
     "title_change_lq": "LQ",
     "title_change": "TC",
+    "title_change_loc": "TC",
+    # the failed path-A chain zeroes SOURCE before going Manual (:1211)
+    "title_manual": "",
     "cu_active": "CREDITUNION_ACTIVE",
     "cu_mna": "CREDITUNION_MNA",
     "cu_closed": "CREDITUNION_CLOSED",
@@ -63,6 +66,10 @@ _STAGE_MANUAL_COMMENT = {
     "fdic_active": "data from FDIC active file(name and city) with unique FDIC_ID",
     "fdic_state": "Fdic name and state matching and unique ID",
     "title_change": "data from FDIC Events",
+    "title_change_loc": "data from FDIC Events",
+    # path-A chain fall-through Manual (:1207-1208)
+    "title_manual": "Bank with similar name in active and inactive but "
+    "locations of either is not matching",
     "cu_active": "Data from credit unions active (unique id)",
     "cu_mna": "Data from credit unions MNA (unique id)",
 }
@@ -154,7 +161,10 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         ns().alias("FDIC_INACTIVE_PARENT_IDN"),
         ns().alias("FDIC_INACTIVE_PARENT_MAP"),
         F.when(
-            F.col("stage").isin("fdic_active", "fdic_state", "title_change"),
+            F.col("stage").isin(
+                "fdic_active", "fdic_state", "title_change",
+                "title_change_loc",
+            ),
             F.col("best_name"),
         )
         .otherwise(ns())
@@ -183,14 +193,22 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         F.col("inactive_title_dist").cast("double").alias("INACTIVE_TITLE_DISTANCE"),
         # the branch that resolves through a chained parent records its DNB
         # hop as the parent-name distance (reference Parent_active_distance)
-        F.when(F.col("stage") == "title_change", F.col("best_dist"))
+        F.when(
+            F.col("stage").isin("title_change", "title_change_loc"),
+            F.col("best_dist"),
+        )
         .otherwise(nd())
         .cast("double")
         .alias("PARENT_NAME_DISTANCE"),
-        # parent-city probe approximation: the chained-parent branch's DNB
-        # city-rung distance (the reference probes the parent's FDIC cities,
-        # :1102 — the engine's tc branch is city-blind, documented)
-        F.when(F.col("stage") == "title_change", F.col("dnb_city_dist"))
+        # parent-city probe approximation: the chained-parent branches' DNB
+        # city-rung distance (the reference records the per-parent FDIC
+        # city-probe distance, :1102 — the engine's _parent_geo_gate decides
+        # on it but does not thread the scalar through; the decision rung's
+        # city distance stands in)
+        F.when(
+            F.col("stage").isin("title_change", "title_change_loc"),
+            F.col("dnb_city_dist"),
+        )
         .otherwise(nd())
         .cast("double")
         .alias("PARENT_CITY_DISTANCE"),

@@ -31,7 +31,13 @@ def collapse_multi_parent(
     with_n = df.join(sizes, group_col)
     single = with_n.filter(F.col("_n") == 1).drop("_n")
 
-    aggs = [F.first(c, ignorenulls=True).alias(c) for c in first_cols]
+    # 'first row' is frame order in the reference (spnv_match_file2.py:58-71);
+    # here the identity columns come from the group's MINIMUM row under
+    # (first_cols) ordering — a deterministic row pick under any partitioning,
+    # same treatment as collapse_spnv_groups' sorted-struct order (an
+    # unordered F.first() was partition-order-dependent, VERDICT r04 #3)
+    _idrow = F.min(F.struct(*[F.col(c).alias(c) for c in first_cols]))
+    aggs = [_idrow.getField(c).alias(c) for c in first_cols]
     aggs += [
         F.concat_ws(",", F.sort_array(F.collect_list(c))).alias(c) for c in name_cols
     ]

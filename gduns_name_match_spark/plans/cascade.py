@@ -59,10 +59,21 @@ the tables come from ONE tagged aggregation pass and ship as one broadcast
 (see build_idf_by_tag / make_tagged_cosine_udf, adversarial fixture in
 tests/test_cascade.py::test_per_registry_idf_reference_parity).
 
-Documented divergence: the title-change branch resolves through the
-latest-event ultimate chained parent without the reference's per-parent
-city/state probes (automation_final2.py:1090-1137) — its multi-parent
-TEMP2='Y' emission is modeled on distinct accepted parents instead.
+Title-change chain (round-5 parity; closes the round-4 documented
+divergence): each candidate parent is geo-gated on its OWN matched
+FDIC-active name — state-exact then city<=0.2 (_parent_geo_gate,
+automation_final2.py:1090-1137 / :1327-1378) — and only ACCEPTED parents
+emit branch rows (DNB hop on the matched FDIC name); co>1 marks TEMP2='Y'.
+co==0 falls through, in reference order, to the kre==0-guarded unique-cert
+state fallback, the LQ liquidation check (path A only), the title-registry
+second loop (_parent_loc_gate, exactly-one-survivor → DNB on the parent
+name with HQ=PARENT_CITY), and finally Manual-terminal (path A) / the
+credit fallbacks (path B). Path B's lone parent resolves UNGATED on the
+parent name itself (:1255-1281). Residual documented divergences: the
+reference's frame-order picks (first cert, per-iteration SOURCE overwrite)
+are deterministic minima / latest-event-wins here, and a path-B lone
+parent with no FDIC match is not re-probed against CU-active (:1283-1313;
+the engine's CU branches probe the mention instead).
 """
 
 from __future__ import annotations
@@ -103,13 +114,21 @@ from gduns_name_match_spark.operators.resolve import (
 STAGE_RANK = {
     "dnb_corporate": 0,
     "fdic_active": 1,
-    "fdic_state": 2,
-    "title_change_lq": 3,
-    "title_change": 4,
-    "cu_active": 5,
-    "cu_mna": 6,
-    "cu_closed": 7,
-    "dnb_fallback": 8,
+    # geo-ACCEPTED chain parents return from inside the title-change block
+    # BEFORE any fallback (:1131-1140 co>0 return) — above fdic_state
+    "title_change": 2,
+    # co==0 fall-through order inside the block: the kre==0 unique-cert
+    # state fallback (:1143) precedes the LQ check (:1157), which precedes
+    # the second loop (:1171); a failed path-A chain ends Manual-terminal
+    # (:1203-1219) before the CU/DNB fallbacks can fire
+    "fdic_state": 3,
+    "title_change_lq": 4,
+    "title_change_loc": 5,
+    "title_manual": 6,
+    "cu_active": 7,
+    "cu_mna": 8,
+    "cu_closed": 9,
+    "dnb_fallback": 10,
 }
 
 # gdun→GL_ULT_NAM dim rows at or under this count broadcast into the output
@@ -302,16 +321,174 @@ def _fdic_city_gate(probe_hits: DataFrame, fdic: DataFrame) -> DataFrame:
     return rows.groupBy(*keys).applyInPandas(kernel, _FDIC_GATE_SCHEMA)
 
 
+_PARENT_GATE_SCHEMA = (
+    "m_norm string, m_city_norm string, m_state string, is_corp boolean, "
+    "is_cu boolean, t_norm string, pf_name string, state_ok boolean, "
+    "accepted boolean, hq_city string"
+)
+
+
+def _parent_geo_gate(rows: DataFrame) -> DataFrame:
+    """The reference's per-parent FDIC geo gate — the title-change chain's
+    first loop, identical in both paths (automation_final2.py:1076-1137
+    city-failed-FDIC path, :1327-1378 no-FDIC-match path): for each candidate
+    parent already matched to an FDIC-active name (``pf_name``), one
+    applyInPandas group over that name's OWN branch rows:
+
+    * probe the group's STATES with the mention state; the gate requires an
+      EXACT hit — cosine distance 0 (:1347 ``if distance==0``); a pass
+      increments the reference's ``kre`` counter (feeds the co==0 fallback
+      guard, :1143) whether or not the city probe below accepts;
+    * subset to the matched state, probe its CITIES with the mention city;
+      accept at <= 0.2 (:1357) — accepted parents are the ``co`` count, and
+      the DNB hop runs on ``pf_name`` ('final active Name' = the matched
+      group's NAME, :1374);
+    * HQ = the first cert at the matched city (:1361-1362 frame order —
+      deterministic min here), then that cert's MAINOFF=1 branch city iff
+      EXACTLY one such row exists in the full name group (:1363-1367).
+
+    Groups are one (probe, parent, FDIC name) branch fan-out — bounded like
+    every other matched-name group."""
+    from gduns_name_match_spark.functions.similarity import (
+        cosine_dist_local,
+        fit_idf_local,
+    )
+
+    keys = [*PROBE_KEYS, "t_norm", "pf_name"]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        first = pdf.iloc[0]
+        m_city = first["m_city_norm"] or ""
+        m_state = first["m_state"] or ""
+        states = pdf["f_state"].fillna("").tolist()
+        sidf = fit_idf_local(states)
+        sd = [cosine_dist_local(m_state, s, sidf) for s in states]
+        sdmin = min(sd)
+        state_ok = bool(sdmin <= 1e-12)
+        accepted = False
+        hq = ""
+        if state_ok:
+            sstar = min(s for s, d in zip(states, sd) if d == sdmin)
+            matc = pdf[pdf["f_state"].fillna("") == sstar]
+            cities = matc["f_city"].fillna("").tolist()
+            cidf = fit_idf_local(cities)
+            cd = [cosine_dist_local(m_city, c, cidf) for c in cities]
+            cdmin = min(cd)
+            if cdmin <= THRESHOLD:
+                accepted = True
+                cstar = min(c for c, d in zip(cities, cd) if d == cdmin)
+                m34 = matc[matc["f_city"].fillna("") == cstar]
+                cert = min(m34["cert"])
+                a2 = pdf[pdf["cert"] == cert]
+                hqrows = a2[a2["mainoff"] == 1]
+                if len(hqrows) == 1:
+                    hq = hqrows["f_city"].fillna("").iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "m_norm": first["m_norm"],
+                    "m_city_norm": first["m_city_norm"],
+                    "m_state": first["m_state"],
+                    "is_corp": bool(first["is_corp"]),
+                    "is_cu": bool(first["is_cu"]),
+                    "t_norm": first["t_norm"],
+                    "pf_name": first["pf_name"],
+                    "state_ok": state_ok,
+                    "accepted": accepted,
+                    "hq_city": hq,
+                }
+            ]
+        )
+
+    return rows.groupBy(*keys).applyInPandas(kernel, _PARENT_GATE_SCHEMA)
+
+
+_PARENT_LOC_SCHEMA = (
+    "m_norm string, m_city_norm string, m_state string, is_corp boolean, "
+    "is_cu boolean, t_norm string, loc_ok boolean, hq_city string"
+)
+
+
+def _parent_loc_gate(rows: DataFrame) -> DataFrame:
+    """The title-change chain's co==0 second loop (automation_final2.py
+    :1173-1204 == :1406-1437): per candidate parent, probe the title_change
+    registry's OWN rows for (matched events name, parent) — city at <= 0.2,
+    argmin-city subset, argmin-state subset; accept iff EXACTLY ONE row
+    remains (:1429 ``len(matc24)==1``). An accepted parent's DNB hop runs on
+    the PARENT NAME itself ('final active Name' = i, :1434) with HQ = the
+    surviving row's PARENT_CITY (:1436); the caller emits only when exactly
+    one parent accepts (temp_50==1, :1438)."""
+    from gduns_name_match_spark.functions.similarity import (
+        cosine_dist_local,
+        fit_idf_local,
+    )
+
+    keys = [*PROBE_KEYS, "t_norm"]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        first = pdf.iloc[0]
+        m_city = first["m_city_norm"] or ""
+        m_state = first["m_state"] or ""
+        cities = pdf["e_city"].fillna("").tolist()
+        cidf = fit_idf_local(cities)
+        cd = [cosine_dist_local(m_city, c, cidf) for c in cities]
+        cdmin = min(cd)
+        loc_ok = False
+        hq = ""
+        if cdmin <= THRESHOLD:
+            cstar = min(c for c, d in zip(cities, cd) if d == cdmin)
+            m23 = pdf[pdf["e_city"].fillna("") == cstar]
+            states = m23["e_state"].fillna("").tolist()
+            sidf = fit_idf_local(states)
+            sd = [cosine_dist_local(m_state, s, sidf) for s in states]
+            sdmin = min(sd)
+            sstar = min(s for s, d in zip(states, sd) if d == sdmin)
+            m24 = m23[m23["e_state"].fillna("") == sstar]
+            if len(m24) == 1:
+                loc_ok = True
+                hq = (m24["e_pcity"].fillna("").iloc[0]) or ""
+        return pd.DataFrame(
+            [
+                {
+                    "m_norm": first["m_norm"],
+                    "m_city_norm": first["m_city_norm"],
+                    "m_state": first["m_state"],
+                    "is_corp": bool(first["is_corp"]),
+                    "is_cu": bool(first["is_cu"]),
+                    "t_norm": first["t_norm"],
+                    "loc_ok": loc_ok,
+                    "hq_city": hq,
+                }
+            ]
+        )
+
+    return rows.groupBy(*keys).applyInPandas(kernel, _PARENT_LOC_SCHEMA)
+
+
 def run_cascade(
     spark: SparkSession,
     mentions: DataFrame,
     regs: Registries,
     threshold: float = THRESHOLD,
+    eager: bool = True,
 ) -> DataFrame:
     """mentions: (mention_id, raw_name [, city, state, old_gdun]) →
     one decision row per mention: (mention_id, raw_name, m_norm, route,
     stage, gdun, match_status, best_name, best_dist, list_of_duns,
-    old_gdun, match_ind)."""
+    old_gdun, match_ind).
+
+    ``eager=True`` (default) localCheckpoints the decision output and
+    unpersists every frame the cascade cached — repeated invocations in a
+    long-lived session (driver bench, incremental batches) must not
+    accumulate cached registry frames (the MatchResult.release class of
+    leak, VERDICT r04 'What's wrong' #1). At a real 100 TB run the output
+    would go through plans/checkpoint.py to durable storage instead;
+    ``eager=False`` returns the lazy plan and leaves cache lifecycle to the
+    caller (plan-inspection tests)."""
     has_geo = "city" in mentions.columns
     has_old = "old_gdun" in mentions.columns
     # city/state are join keys through the whole cascade — coalesce to ''
@@ -350,10 +527,27 @@ def run_cascade(
         F.col("state"), "mainoff",
     )
 
+    # the title_change registry's own geo columns (CITY/STATE/PARENT_CITY)
+    # feed the reference's co==0 second loop (automation_final2.py:1173-1204);
+    # registries without them skip that fallback branch
+    has_ev_geo = (
+        "city" in regs.fdic_events.columns and "state" in regs.fdic_events.columns
+    )
     events = regs.fdic_events.select(
         normalize_name_col(F.col("name")).alias("norm_name"),
         normalize_name_col(F.col("parent_name")).alias("parent_norm"),
         "effdate", "source",
+        (
+            normalize_city_col(F.col("city")) if has_ev_geo else F.lit(None)
+        ).cast("string").alias("e_city"),
+        (
+            F.coalesce(F.col("state"), F.lit("")) if has_ev_geo else F.lit(None)
+        ).cast("string").alias("e_state"),
+        (
+            normalize_city_col(F.col("parent_city"))
+            if "parent_city" in regs.fdic_events.columns
+            else F.lit(None)
+        ).cast("string").alias("e_pcity"),
     )
     # latest event wins per name; ultimate parent via pointer doubling
     name_parents = events.groupBy("norm_name").agg(
@@ -363,6 +557,26 @@ def run_cascade(
     chained = chase_to_root(
         name_parents.select("norm_name", "parent_norm"), "norm_name", "parent_norm"
     ).withColumnRenamed("root_id", "ultimate_parent")
+
+    # one candidate per DISTINCT parent of each events name, each chased to
+    # its ultimate root: the reference's title_change registry carries
+    # already-CHAINED parents (the fdic_events refresh rewrites PARENT_NAME
+    # to the latest downstream parent, fdic_events.py:379-392), so the
+    # engine's per-parent candidate identity is root(parent) — list_1 =
+    # matc22.PARENT_NAME.unique() (automation_final2.py:1057-1060)
+    parents_all = events.filter(F.col("parent_norm") != "").select(
+        F.col("norm_name").alias("ev_name"), "parent_norm"
+    ).distinct()
+    par_root = parents_all.join(
+        chained.select(
+            F.col("norm_name").alias("parent_norm"),
+            F.col("ultimate_parent").alias("p_root"),
+        ),
+        "parent_norm", "left",
+    ).select(
+        "ev_name", "parent_norm",
+        F.coalesce("p_root", "parent_norm").alias("t_norm"),
+    )
 
     cu = _norm_reg(regs.cu_active, "name").select("ncua_id", "norm_name")
     cu_mna = (
@@ -446,16 +660,43 @@ def run_cascade(
         tagged_idf_input = tagged_idf_input.unionByName(fr)
     idfs = build_idf_by_tag(tagged_idf_input)
 
-    # BOTH passes in ONE scoring job: probes = mentions ∪ targets. The
-    # per-(probe, tag) argmin window serves pass 1 (mention → each registry's
-    # best) and pass 2 (target → best DNB name) from the same accepted set.
-    # Names carry their registry-membership tags as an ARRAY through the
-    # blocking join (no post-hoc tag join = no extra pair-stream shuffle);
-    # the pair explodes per tag and each row scores under its registry's IDF.
+    # BOTH passes in ONE scoring job: probes = mentions ∪ targets ∪ parent
+    # candidates. The per-(probe, tag) argmin window serves pass 1 (mention →
+    # each registry's best), pass 2 (target → best DNB name) and the per-
+    # parent FDIC probes (parent root → best FDIC name, reference
+    # :1328-1334) from the same accepted set. Names carry their registry-
+    # membership tags as an ARRAY through the blocking join (no post-hoc tag
+    # join = no extra pair-stream shuffle); the pair explodes per tag and
+    # each row scores under its registry's IDF — but only the tags the probe
+    # actually CONSUMES: a mention decides under every registry, a DNB
+    # target only ever reads its 'dnb' row, a parent candidate its 'dnb' +
+    # 'fdic' rows. Round 4 scored every probe under every tag and discarded
+    # the (target × non-dnb-tag) rows unread — wasted Arrow-kernel volume
+    # proportional to |targets| × avg non-dnb fan-out (VERDICT r04 task 1a).
+    _all_tags = F.array(
+        *[F.lit(tg) for tg, fr in (
+            ("dnb", dnb), ("fdic", fdic), ("events", events), ("cu", cu),
+            ("cu_mna", cu_mna), ("cu_closed", cu_closed),
+        ) if fr is not None]
+    )
     probes = (
-        m.select("m_norm").distinct()
-        .union(targets.select(F.col("t_norm").alias("m_norm")))
-        .distinct()
+        m.select("m_norm").distinct().withColumn("ptags", _all_tags)
+        .unionByName(
+            targets.select(
+                F.col("t_norm").alias("m_norm"),
+                F.array(F.lit("dnb")).alias("ptags"),
+            )
+        )
+        .unionByName(
+            par_root.select(
+                F.col("t_norm").alias("m_norm"),
+                F.array(F.lit("dnb"), F.lit("fdic")).alias("ptags"),
+            ).distinct()
+        )
+        .groupBy("m_norm")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("ptags"))).alias("ptags")
+        )
     )
     names_tagged = reg_names.groupBy("r_norm").agg(
         F.sort_array(F.collect_set("tag")).alias("tags")
@@ -475,6 +716,10 @@ def run_cascade(
     scored = (
         blocking.pairs.filter(len_ok)
         .withColumn("tag", F.explode("tags"))
+        # the consumed-tags prefilter: BEFORE the exchange and the Python
+        # kernel, so the dropped rows are never shuffled or scored
+        .filter(F.array_contains(F.col("ptags"), F.col("tag")))
+        .drop("ptags", "tags")
         .repartition(spark.sparkContext.defaultParallelism * 2, "m_norm")
         .sortWithinPartitions("m_norm", "tag")
         .withColumn(
@@ -617,11 +862,72 @@ def run_cascade(
         )
     )
 
+    # ---- title-change chain membership + per-parent geo gates (reference
+    # parity, closes the round-4 documented divergence). Two entry paths:
+    # path A = FDIC-active matched but its city gate FAILED (:1049 else →
+    # :1055 title probe), path B = no FDIC-active match at all (:1243 else →
+    # :1244 title probe). City-ACCEPTED probes never enter the chain.
+    ev_hit = tag_best("events").select(
+        "m_norm",
+        F.col("best_name").alias("change_name"),
+        F.col("best_dist").alias("ev_dist"),
+    )
+    path_a = fdic_gate.filter(~F.col("city_accepted")).select(*PROBE_KEYS)
+    path_b = bank_mb.join(
+        fdic_hop.select("m_norm").distinct(), "m_norm", "left_anti"
+    )
+    chain_base = (
+        path_a.withColumn("path_a", F.lit(True))
+        .unionByName(path_b.withColumn("path_a", F.lit(False)))
+        .join(ev_hit, "m_norm")
+    )
+    # one candidate per DISTINCT chained parent (list_1, :1057-1060); the
+    # per-probe parent count drives the path-B single-parent special case
+    chain_parents = chain_base.join(
+        par_root.select(
+            F.col("ev_name").alias("change_name"), "t_norm"
+        ).distinct(),
+        "change_name",
+    ).withColumn(
+        "n_parents",
+        F.size(F.collect_set("t_norm").over(Window.partitionBy(*PROBE_KEYS))),
+    )
+    # each parent's own FDIC-active probe (pass-1 'fdic' rows for the parent
+    # candidates — they were scored under the 'fdic' tag exactly for this)
+    pf = best_by_tag.filter(F.col("tag") == "fdic").select(
+        F.col("m_norm").alias("t_norm"),
+        F.col("best_name").alias("pf_name"),
+    )
+    cp = chain_parents.join(pf, "t_norm", "left")
+    # the gated first loop runs for path A always and path B with >1 parent
+    # (path B's single parent takes the UNGATED special block, :1255-1281)
+    loop_rows = cp.filter(F.col("path_a") | (F.col("n_parents") > 1))
+    gate_in = loop_rows.filter(F.col("pf_name").isNotNull()).join(
+        fdic.select(
+            F.col("norm_name").alias("pf_name"),
+            F.col("norm_city").alias("f_city"),
+            F.col("state").alias("f_state"),
+            F.col("fdic_id").alias("cert"),
+            "mainoff",
+        ),
+        "pf_name",
+    )
+    # persisted: feeds the title_change branch (accepted parents), the
+    # fdic_state kre==0 guard, and nothing else — released with the rest
+    pgate = _parent_geo_gate(
+        gate_in.select(*PROBE_KEYS, "t_norm", "pf_name", "f_city", "f_state",
+                       "cert", "mainoff")
+    ).persist()
+
     # state-equality fallback of the city-failed FDIC path (reference
     # :1140-1155 and :1221-1231, Comments 'Fdic name and state matching and
     # unique ID'): the matched FDIC name has ONE cert and a row whose state
     # equals the mention state → DNB on the FDIC name; HQ = the name's
-    # MAINOFF=1 city when exactly one exists (:1148-1149)
+    # MAINOFF=1 city when exactly one exists (:1148-1149). GUARDED on kre==0
+    # (:1142 — a parent that passed the state-exact gate but failed the city
+    # probe forecloses this fallback; title-miss probes never ran the loop,
+    # so kre=0 holds for them trivially, matching :1221)
+    kre_pos = pgate.filter(F.col("state_ok")).select(*PROBE_KEYS).distinct()
     fdic_meta = fdic.groupBy(F.col("norm_name").alias("t_norm")).agg(
         F.count_distinct("fdic_id").alias("n_certs"),
         F.sort_array(
@@ -640,6 +946,7 @@ def run_cascade(
             & (F.col("f_state") == F.col("m_state")),
             "left_semi",
         )
+        .join(kre_pos, PROBE_KEYS, "left_anti")
     )
     branches.append(
         state_base.join(best2, "t_norm", "left").select(
@@ -653,56 +960,144 @@ def run_cascade(
         )
     )
 
-    ev_meta = tag_best("events").join(
-        name_parents.select(F.col("norm_name").alias("best_name"), "source"),
-        "best_name",
+    # ---- title_change: one branch row per GEO-ACCEPTED parent (reference
+    # list_of_vari, :1090-1137 / :1357-1378); the DNB hop runs on the
+    # parent's matched FDIC-ACTIVE name ('final active Name' = the matched
+    # group's NAME, :1374), NOT the parent name. co==1 resolves singly;
+    # co>1 keeps all rows and the priority window marks them TEMP2='Y' for
+    # the -45000 collapse — counting city-ACCEPTED parents, not all
+    # distinct parents (the round-4 documented divergence, closed).
+    best2_pf = best2.withColumnRenamed("t_norm", "pf_name")
+    branches.append(
+        pgate.filter(F.col("accepted"))
+        .join(best2_pf, "pf_name", "left")
+        .select(
+            *PROBE_KEYS, F.lit("title_change").alias("stage"),
+            "dnb_name", "dnb_dist",
+            F.coalesce("hq_city", F.lit("")).alias("hq_city"),
+            no_acd,
+            F.col("t_norm").alias("parent_norm"),
+        )
     )
-    # one hop per DISTINCT parent of the matched events name, each chased to
-    # its ultimate root: a single-parent name behaves exactly as before
-    # (root(parent) == root(child)); a MULTI-parent name emits one branch
-    # row per parent — the reference enumerates the FULL unique parent list
-    # (list_1 = matc22.PARENT_NAME.unique(), :1152-1156, NOT latest-only;
-    # latest-wins applies only to the functional chase graph and the LQ/
-    # source pick) and accumulates one list_of_vari row per parent
-    # (:1090-1137), which the output marks TEMP2='Y' and spnv_match_file2
-    # collapses to -45000 (engine divergence, documented: the reference
-    # counts city-ACCEPTED parents, the engine all distinct parents — its
-    # city probes need mention geo the corpus often lacks)
-    parents_all = events.filter(F.col("parent_norm") != "").select(
-        F.col("norm_name").alias("best_name"), "parent_norm"
-    ).distinct()
-    par_root = parents_all.join(
-        chained.select(
-            F.col("norm_name").alias("parent_norm"),
-            F.col("ultimate_parent").alias("p_root"),
+
+    # path-B single-parent special block (:1255-1281): the lone parent is
+    # probed against FDIC-active but NOT geo-gated; on acceptance the
+    # (events name, parent) pair's source is LQ-checked (matc22['SOURCE'][0]
+    # — latest-event-wins here, the engine's deterministic stand-in for
+    # frame order), then the DNB hop runs on the PARENT NAME ITSELF
+    # (dnb_proccess(row,'final_title'), :1279) with HQ = the parent's
+    # matched FDIC name's MAINOFF=1 city iff exactly one such row
+    # (:1262-1263). A lone parent with NO FDIC-active match falls through to
+    # the credit/DNB fallbacks (documented residual divergence: the
+    # reference probes the PARENT against CU-active there, :1283-1313; the
+    # engine's CU branches probe the mention).
+    root_src = (
+        events.filter(F.col("parent_norm") != "")
+        .join(
+            par_root.select(
+                F.col("ev_name").alias("norm_name"), "parent_norm", "t_norm"
+            ),
+            ["norm_name", "parent_norm"],
+        )
+        .groupBy(F.col("norm_name").alias("change_name"), "t_norm")
+        .agg(
+            F.max_by("source", F.struct("effdate", "source")).alias(
+                "pair_source"
+            )
+        )
+    )
+    pf_hq = fdic.groupBy(F.col("norm_name").alias("pf_name")).agg(
+        F.sum(F.when(F.col("mainoff") == 1, 1).otherwise(0)).alias("n_main"),
+        F.min(F.when(F.col("mainoff") == 1, F.col("norm_city"))).alias(
+            "main_city"
         ),
-        "parent_norm", "left",
-    ).select(
-        "best_name", "parent_norm",
-        F.coalesce("p_root", "parent_norm").alias("t_norm"),
     )
-    tc_hop = ev_meta.filter(F.col("source") != "LQ").join(
-        par_root, "best_name"
-    ).select("m_norm", "t_norm", "parent_norm")
-    # the parent chase belongs to rows WITHOUT an accepted FDIC-active match
-    # (reference :1243 else-path). An active bank that also appears in the
-    # events file is excluded even when its city gate failed: the reference
-    # does probe the chain there, but gates EVERY parent on its own
-    # city/state (:1090-1137) and lands Manual when none accepts
-    # (temp_50=0, :1203-1219) — the engine's parent chase is city-blind, so
-    # letting those rows in would resolve through a parent the reference
-    # would reject (documented divergence; with geo present a city-accepted
-    # parent chain could legitimately win there)
-    tc_base = bank_mb.join(
-        fdic_hop.select("m_norm").distinct(), "m_norm", "left_anti"
+    single_b = (
+        cp.filter(
+            ~F.col("path_a")
+            & (F.col("n_parents") == 1)
+            & F.col("pf_name").isNotNull()
+        )
+        .join(root_src, ["change_name", "t_norm"], "left")
+        # the pair always exists (parents derive from the same events rows);
+        # coalesce so a NULL can never silently drop the row from BOTH the
+        # LQ and the DNB sub-branch
+        .withColumn(
+            "pair_source", F.coalesce(F.col("pair_source"), F.lit(""))
+        )
     )
     branches.append(
-        tc_base.join(tc_hop, "m_norm")
+        single_b.filter(~F.col("pair_source").endswith("LQ"))
+        .join(pf_hq, "pf_name", "left")
         .join(best2, "t_norm", "left")
         .select(
             *PROBE_KEYS, F.lit("title_change").alias("stage"),
-            "dnb_name", "dnb_dist", empty_hq, no_acd,
-            F.col("parent_norm"),
+            "dnb_name", "dnb_dist",
+            F.when(F.col("n_main") == 1, F.col("main_city"))
+            .otherwise(F.lit(""))
+            .alias("hq_city"),
+            no_acd,
+            F.col("t_norm").alias("parent_norm"),
+        )
+    )
+
+    # co==0 second loop (:1173-1204): the title_change registry's own
+    # city/state rows decide; exactly one surviving parent → DNB on the
+    # parent name with HQ = PARENT_CITY. Needs the registry geo columns.
+    if has_ev_geo:
+        ev_loc = (
+            events.filter(F.col("parent_norm") != "")
+            .join(
+                par_root.select(
+                    F.col("ev_name").alias("norm_name"), "parent_norm",
+                    "t_norm",
+                ),
+                ["norm_name", "parent_norm"],
+            )
+            .select(
+                F.col("norm_name").alias("change_name"), "t_norm",
+                "e_city", "e_state", "e_pcity",
+            )
+        )
+        loc_in = loop_rows.select(
+            *PROBE_KEYS, "change_name", "t_norm"
+        ).join(ev_loc, ["change_name", "t_norm"])
+        ploc = _parent_loc_gate(
+            loc_in.select(*PROBE_KEYS, "t_norm", "e_city", "e_state", "e_pcity")
+        )
+        w_keys = Window.partitionBy(*PROBE_KEYS)
+        loc_one = (
+            ploc.filter(F.col("loc_ok"))
+            .withColumn("t50", F.count("*").over(w_keys))
+            .filter(F.col("t50") == 1)
+        )
+        branches.append(
+            loc_one.join(best2, "t_norm", "left").select(
+                *PROBE_KEYS, F.lit("title_change_loc").alias("stage"),
+                "dnb_name", "dnb_dist",
+                F.coalesce("hq_city", F.lit("")).alias("hq_city"),
+                no_acd,
+                F.col("t_norm").alias("parent_norm"),
+            )
+        )
+
+    # path-A chain probes whose every fallback failed end MANUAL inside the
+    # branch (:1203-1219 'Bank with similar name in active and inactive but
+    # locations of either is not matching') — a dnb_name=NULL row at this
+    # rank decides Manual-terminal, so the row never reaches the CU/DNB
+    # fallbacks. Path B's co==0 falls through to credit_proccess (:1443),
+    # and a path-A probe with NO parents never ran the loop (list_1 empty →
+    # credit_proccess, :1060-1062) — so only path-A probes WITH parent
+    # candidates emit here.
+    branches.append(
+        loop_rows.filter(F.col("path_a"))
+        .select(*PROBE_KEYS)
+        .distinct()
+        .select(
+            *PROBE_KEYS, F.lit("title_manual").alias("stage"),
+            F.lit(None).cast("string").alias("dnb_name"),
+            F.lit(None).cast("double").alias("dnb_dist"),
+            empty_hq, no_acd, no_parent,
         )
     )
 
@@ -716,19 +1111,34 @@ def run_cascade(
                 "best_name", "best_dist",
             )
         )
-    lq_hit = bank_mb.join(
-        tag_best("events").join(
-            name_parents.filter(F.col("source") == "LQ").select(
-                F.col("norm_name").alias("best_name")
+    # BANK Liquidates (:1157-1170): fires only on path A's co==0 fall-through
+    # — path B zeroes SOURCE before the check (:1396-1397), its lone-parent
+    # LQ case is handled in the single-parent block above. Ranked BELOW
+    # fdic_state per the reference order (:1143 before :1157), ABOVE the
+    # second loop (:1171).
+    lq_hit = path_a.join(
+        ev_hit.join(
+            name_parents.filter(F.col("source").endswith("LQ")).select(
+                F.col("norm_name").alias("change_name")
             ),
-            "best_name",
+            "change_name",
         ),
         "m_norm",
     )
     terminals.append(
         lq_hit.select(
             *PROBE_KEYS, F.lit("title_change_lq").alias("stage"),
-            "best_name", "best_dist",
+            F.col("change_name").alias("best_name"),
+            F.col("ev_dist").alias("best_dist"),
+        )
+    )
+    # path-B single parent whose (events name, parent) source is LQ →
+    # closed entity (:1265-1275)
+    terminals.append(
+        single_b.filter(F.col("pair_source").endswith("LQ")).select(
+            *PROBE_KEYS, F.lit("title_change_lq").alias("stage"),
+            F.col("change_name").alias("best_name"),
+            F.col("ev_dist").alias("best_dist"),
         )
     )
 
@@ -960,4 +1370,9 @@ def run_cascade(
         out = out.join(gnames, "gdun", "left")
     else:
         out = out.withColumn("gdun_name", F.lit(None).cast("string"))
+    if eager:
+        out = out.localCheckpoint()
+        for f in (m, dnb, name_parents, reg_names, targets, mb, fdic_gate,
+                  pgate):
+            f.unpersist()
     return out

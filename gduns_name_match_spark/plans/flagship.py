@@ -260,3 +260,17 @@ def spnv_match_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gduns_name_match_spark.operators.compat import to_spnv_match_raw
 
     return to_spnv_match_raw(er_full_cascade(spark, sf_dir))
+
+
+def spnv_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -45000 multi-parent collapse wired onto the REAL pipeline output
+    (VERDICT r04 task 7): cascade → SPNV_MATCH_RAW compat view →
+    collapse_spnv_groups over its TEMP2='Y' groups — proving the
+    TEMP1/TEMP2 plumbing end-to-end through the actual cascade, not just
+    the synthetic frame the `spnv_collapse` oracle twin runs on
+    (spnv_match_file2.py:55-131)."""
+    from gduns_name_match_spark.operators.postprocess import (
+        collapse_spnv_groups,
+    )
+
+    return collapse_spnv_groups(spnv_match_raw(spark, sf_dir))

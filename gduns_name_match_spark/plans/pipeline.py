@@ -188,9 +188,10 @@ def match_documents(
     # the same string cost one vectorization + one score. The per-mention
     # decision is a cheap equi-join at the end. (At 10^12 docs the distinct
     # name universe is orders of magnitude smaller than the mention stream.)
-    # Persisted: counted later (from cache, once blocking has materialized
-    # it) to pick the decision tail's physical join strategy.
-    probes = norm_map.select("m_norm").distinct().persist()
+    # Not persisted: candidate_pairs caches the keyed projection of this
+    # frame, and nothing re-reads the bare probe list (the broadcast gate
+    # below is decided from the best-match map's own measured count).
+    probes = norm_map.select("m_norm").distinct()
     m_keyed = with_block_keys(probes, "m_norm", prefix_len=prefix_len)
     r_keyed = with_block_keys(
         reg.select(F.col("norm_name").alias("r_norm")).dropDuplicates(["r_norm"]),
@@ -259,14 +260,17 @@ def match_documents(
         F.col("cos_dist").alias("best_dist"),
     ).persist()
     best_cache_handle = best  # pre-broadcast-hint handle for release()
-    best.count()
+    n_best = best.count()
     _mark("block_join_score")
     release_blocking_caches(blocking, include_stats=False)
-    # cached count (the blocking jobs populated the probes cache): broadcast
-    # vs shuffle for the best-match map, decided by its measured row count;
-    # broadcast_decisions forces the whole tail's choice (None = auto)
+    # broadcast vs shuffle for the best-match map, decided by the count the
+    # materializing action above ALREADY measured — the map being shipped is
+    # `best` itself (probes with no accepted match never enter it), so its
+    # own row count is the right gate and the former probes.count() driver
+    # round trip (VERDICT r04 task 5) is gone. broadcast_decisions forces
+    # the whole tail's choice (None = auto).
     if broadcast_decisions is None:
-        small_probe_universe = probes.count() <= BROADCAST_DECISIONS_LIMIT
+        small_probe_universe = n_best <= BROADCAST_DECISIONS_LIMIT
     else:
         small_probe_universe = broadcast_decisions
 
@@ -288,12 +292,23 @@ def match_documents(
     # RAW string — it is never normalized and, when the decision map is
     # small (measured), never shuffled either.
     per_raw = norm_map.join(decided_norm, "m_norm", "left").persist()
+    # pre-observe/pre-hint handle: observe() wraps the plan in a
+    # CollectMetrics node, so unpersist() on the wrapped frame would no
+    # longer resolve to the cached plan — release() must see this frame
+    per_raw_cache_handle = per_raw
     if broadcast_decisions is None:
         # measure the BYTES this map would ship, not its row count: the
-        # audit arrays dominate (a row can carry 3x100 capped elements), so
-        # one cheap agg over the persisted map estimates the payload
-        sizes = per_raw.select(
-            F.count("*").alias("rows"),
+        # audit arrays dominate (a row can carry 3x100 capped elements).
+        # The metrics ride the cache-materializing count() as an Observation
+        # — ONE job both populates the per_raw cache and measures the
+        # payload, where round 4 ran a standalone aggregate-collect
+        # (VERDICT r04 task 5: the stage's second serial driver round trip)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        per_raw = per_raw.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
             F.sum(
                 F.coalesce(F.size("list_of_duns"), F.lit(0))
                 + F.coalesce(F.size("list_of_gduns"), F.lit(0))
@@ -301,7 +316,9 @@ def match_documents(
             F.sum(F.coalesce(F.size("list_of_gdun_names"), F.lit(0))).alias(
                 "name_elems"
             ),
-        ).collect()[0]
+        )
+        per_raw.count()
+        sizes = obs.get
         est_bytes = (
             sizes["rows"] * _ROW_BYTES_EST
             + (sizes["long_elems"] or 0) * _LONG_ELEM_BYTES
@@ -322,7 +339,7 @@ def match_documents(
         decisions=decisions,
         key_stats=key_stats,
         _caches=(
-            reg, scored, key_stats, probes, norm_map, per_raw,
+            reg, scored, key_stats, norm_map, per_raw_cache_handle,
             best_cache_handle,
         ),
     )

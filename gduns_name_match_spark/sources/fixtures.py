@@ -19,7 +19,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from gduns_name_match_spark.functions.normalize import CREDIT_UNION_SUFFIXES
+from gduns_name_match_spark.functions.normalize import (
+    CORPORATE_SUFFIXES,
+    CREDIT_UNION_SUFFIXES,
+)
 
 
 def _cu_gate(name: str) -> bool:
@@ -27,6 +30,17 @@ def _cu_gate(name: str) -> bool:
     CU fallback branches only run when the ORIGINAL name keeps a CU suffix.
     Perturbation can strip it — then the row dies in the DNB fallback."""
     return name.lower().endswith(CREDIT_UNION_SUFFIXES)
+
+
+def _corp_gate(name: str) -> bool:
+    """Python twin of is_corporate_routed_col (automation_final2.py:346-348):
+    corporate-suffixed (or 'city of') names that never say bank/credit union
+    route to the DNB-only stream and skip the whole FDIC/CU cascade."""
+    low = name.lower()
+    mentions_fi = "bank" in low or "credit union" in low
+    if mentions_fi:
+        return False
+    return low.endswith(CORPORATE_SUFFIXES) or low.startswith("city of")
 
 # ---------------------------------------------------------------- word stock
 
@@ -263,6 +277,27 @@ def generate(
         for i, name in enumerate(_MNA_OLD_CUS)
     }
 
+    # round-5 per-parent geo-gate support (reference automation_final2.py
+    # :1076-1137): chain-child banks (events children a, b of each A→B→C
+    # merger) enter the title chain whenever their FDIC city gate fails —
+    # the reference then geo-gates every parent and, failing all fallbacks,
+    # lands Manual. The fixture therefore (a) covers every member city with
+    # an FDIC branch for chain children, so geo-carrying mentions ALWAYS
+    # pass the city gate and resolve fdic_active, and (b) stamps geo-less
+    # chain-child mentions with the reference's Manual truth.
+    chain_children = set()
+    for _i in range(0, len(_banks_all) - 2, 9):
+        chain_children.add(_banks_all[_i].canonical)
+        chain_children.add(_banks_all[_i + 1].canonical)
+    # multi-parent mentions must carry geo that BOTH event parents' FDIC
+    # branches accept (the reference counts city-ACCEPTED parents for the
+    # TEMP2 emission) — a deterministic shared location per entity, with
+    # matching parent branches appended in the FDIC build below
+    mp_geo = {
+        name: _CITIES[i % len(_CITIES)]
+        for i, name in enumerate(_MULTI_PARENT_BANKS)
+    }
+
     def _draw_entity() -> tuple[str, str, int, str | None, EntityGroup | None]:
         """(canonical, kind, true_gdun, expected_status, group) per mention."""
         r = rng.random()
@@ -320,6 +355,25 @@ def generate(
                 m_city, m_state = member["city"], member["st"]
             else:
                 m_city, m_state = "", ""
+            if expected_status == "multi_parent":
+                m_city, m_state = mp_geo[canonical]
+            # chain-child truth under reference semantics: a geo-carrying
+            # mention passes the (member-city-covering) FDIC gate and
+            # resolves fdic_active; a geo-less one fails the gate, enters
+            # the title chain, fails every parent's state-exact gate and
+            # every fallback, and ends Manual (:1203-1219). Corporate-routed
+            # perturbations skip the whole bank cascade (stream 2) and twins
+            # keep their own ambiguity semantics — neither is chain-tagged.
+            if (
+                group is not None
+                and group.canonical in chain_children
+                and group.canonical not in ambiguous_names
+                and not _corp_gate(mention)
+            ):
+                if m_city:
+                    expected_status = "chain_child_geo"
+                else:
+                    true_gdun, expected_status = -1, "chain_child_manual"
             span_pos = len(spans)
             spans.append(("name", mention, "", offset))
             offset += rng.randint(1, 5)
@@ -347,8 +401,10 @@ def generate(
     fdic_rows, fdic_event_rows = [], []
     cu_active_rows, cu_mna_rows = [], []
     fdic_id, rssd = 3_000, 7_000
+    fdic_id_by_name: dict[str, int] = {}
     bank_groups = [g for g in groups if g.kind == "bank"]
     for g in bank_groups:
+        fdic_id_by_name[g.canonical] = fdic_id
         branches = rng.randint(1, 3)
         hq = rng.randrange(branches)
         for b in range(branches):
@@ -369,6 +425,27 @@ def generate(
                 }
             )
         fdic_id += 1
+    # chain children: one branch per member city not already covered (no rng
+    # — the v4 stream must not shift), so any member-drawn mention city
+    # EXACTLY matches an FDIC branch and the city gate accepts
+    for g in bank_groups:
+        if g.canonical not in chain_children:
+            continue
+        covered = {
+            r["city"] for r in fdic_rows if r["name"] == g.canonical
+        }
+        for mrow in g.members:
+            if mrow["city"] in covered:
+                continue
+            covered.add(mrow["city"])
+            fdic_rows.append(
+                {
+                    "fdic_id": fdic_id_by_name[g.canonical],
+                    "name": g.canonical, "city": mrow["city"],
+                    "state": mrow["st"], "mainoff": 0, "source": "FDIC",
+                    "gl_ult_dun": g.gdun,
+                }
+            )
     # merger chains A→B→C among consecutive bank groups
     for i in range(0, len(bank_groups) - 2, 9):
         a, b, c = bank_groups[i : i + 3]
@@ -403,6 +480,18 @@ def generate(
              "parent_name": "", "effdate": "2018-05-01", "source": "LQ",
              "new_event_ind": 0}
         )
+        # the reference's BANK-Liquidates -21000 fires only on the
+        # city-failed-FDIC path's co==0 fall-through (:1157-1170) — a name
+        # absent from FDIC active takes path B, where SOURCE is zeroed
+        # before the LQ check (:1396). So LQ banks carry an FDIC-active row
+        # (deterministic city; LQ mentions are geo-less → the city gate
+        # always fails → path A → -21000)
+        _lq_city, _lq_st = _CITIES[(i + 3) % len(_CITIES)]
+        fdic_rows.append(
+            {"fdic_id": 85_000 + i, "name": name, "city": _lq_city,
+             "state": _lq_st, "mainoff": 1, "source": "FDIC",
+             "gl_ult_dun": -1}
+        )
     for i, name in enumerate(_RENAMED_BANKS):
         parent = renamed_parent[name]
         fdic_event_rows.append(
@@ -413,6 +502,7 @@ def generate(
     # multi-parent: the SAME old name carries events to TWO distinct active
     # parents (reference list_of_vari emission, automation_final2.py:1090-1137)
     for i, name in enumerate(_MULTI_PARENT_BANKS):
+        _mp_city, _mp_st = mp_geo[name]
         for j in range(2):
             parent = bank_groups_for_parents[
                 (i + j) % len(bank_groups_for_parents)
@@ -423,6 +513,16 @@ def generate(
                  "effdate": f"2020-0{j + 1}-15", "source": "TC",
                  "new_event_ind": 0}
             )
+            # both parents get a branch at the entity's shared mention
+            # location, so BOTH pass the per-parent state-exact + city gate
+            # and the TEMP2='Y' multi-parent emission fires on city-ACCEPTED
+            # parents exactly like the reference (:1090-1137)
+            fdic_rows.append(
+                {"fdic_id": fdic_id_by_name[parent.canonical],
+                 "name": parent.canonical, "city": _mp_city,
+                 "state": _mp_st, "mainoff": 0, "source": "FDIC",
+                 "gl_ult_dun": parent.gdun}
+            )
     for i, name in enumerate(_MNA_OLD_CUS):
         parent = mna_parent[name]
         cu_mna_rows.append(
@@ -430,6 +530,28 @@ def generate(
              "name": name, "parent_name": parent.canonical,
              "city": rng.choice(_CITIES)[0], "state": rng.choice(_CITIES)[1],
              "date_": "2021-02-01", "new_event_ind": 0, "source": "MNA"}
+        )
+
+    # title_change registry geo (reference columns CITY/STATE/PARENT_CITY —
+    # the co==0 second loop probes them, automation_final2.py:1173-1204).
+    # Drawn from an INDEPENDENT rng stream: the main `rng` stream defines
+    # the v4 documents/registry corpus the bench parquet caches — adding
+    # draws to it would silently shift every downstream entity and make
+    # round-over-round bench numbers incomparable again (BENCH.md v2→v3
+    # lesson). The event's own city/state = the OLD institution's location
+    # (its FDIC HQ when it has one, else drawn); PARENT_CITY = the parent's
+    # FDIC HQ city when the parent is an active bank, else drawn.
+    rng_ev = random.Random(seed ^ 0x5EED)
+    hq_by_name = {}
+    for r in fdic_rows:
+        if r["mainoff"] == 1:
+            hq_by_name[r["name"]] = (r["city"], r["state"])
+    for r in fdic_event_rows:
+        own = hq_by_name.get(r["name"]) or rng_ev.choice(_CITIES)
+        r["city"], r["state"] = own
+        parent_hq = hq_by_name.get(r["parent_name"])
+        r["parent_city"] = (
+            parent_hq[0] if parent_hq else rng_ev.choice(_CITIES)[0]
         )
 
     gazetteer_rows = [

@@ -569,3 +569,158 @@ def test_group_refit_city_tiebreak_reference_parity(spark):
         probe_city="m_city", probe_state="m_state",
     ).collect()[0]
     assert global_row["match_status"] != "matched_city_tiebreak"
+
+
+def test_parent_geo_gate_counts_city_accepted_parents(spark):
+    """VERDICT r04 task 4's adversarial scenario, closed: a two-parent event
+    name where only ONE parent passes its own FDIC state-exact + city gate
+    (automation_final2.py:1327-1378). The reference resolves it SINGLY (co=1,
+    no TEMP2); round 4's engine emitted TEMP2 rows for all distinct parents.
+    A mention whose geo satisfies BOTH parents still gets the two-row
+    TEMP2='Y' emission, and a geo-less mention fails every gate (co=0) and
+    falls through path B to Manual."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "gamma holdings", "Omaha", "NE", 100),
+            (2, "delta trust", "Tulsa", "OK", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [
+            (20, "gamma holdings", "Omaha", "NE", 1),
+            (21, "delta trust", "Tulsa", "OK", 1),
+            # delta's second branch shares gamma's location — only a mention
+            # AT that location accepts both parents
+            (21, "delta trust", "Omaha", "NE", 0),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = spark.createDataFrame(
+        [
+            (40, "old national banc", 20, "gamma holdings", "2019-01-01", "TC"),
+            (40, "old national banc", 21, "delta trust", "2020-01-01", "TC"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [
+            # Tulsa/OK: only delta's gate accepts → co=1, single row
+            ("m1", "old national banc", "Tulsa", "OK"),
+            # Omaha/NE: both parents have an accepting branch → TEMP2
+            ("m2", "old national banc", "Omaha", "NE"),
+            # geo-less: every gate fails → co=0 → path-B fall-through Manual
+            ("m3", "old national banc", "", ""),
+        ],
+        "mention_id string, raw_name string, city string, state string",
+    )
+    rows = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()
+    by_id: dict[str, list] = {}
+    for r in rows:
+        by_id.setdefault(r.mention_id, []).append(r)
+    (m1,) = by_id["m1"]
+    assert m1.stage == "title_change" and m1.gdun == 200
+    assert m1.temp2 is None
+    m2 = sorted(by_id["m2"], key=lambda r: r.gdun)
+    assert len(m2) == 2 and [r.gdun for r in m2] == [100, 200]
+    assert all(r.temp2 == "Y" and r.stage == "title_change" for r in m2)
+    assert len({r.parent_norm for r in m2}) == 2
+    (m3,) = by_id["m3"]
+    assert m3.gdun == -1 and m3.match_status == "manual"
+    assert m3.stage != "title_manual"  # path B falls through, never Manual-terminal
+
+
+def test_title_loc_second_loop_and_path_a_manual(spark):
+    """The co==0 second loop (automation_final2.py:1173-1204): the title
+    registry's OWN city/state rows accept exactly one parent → DNB on the
+    PARENT name with HQ = PARENT_CITY; and the path-A chain probe whose
+    every fallback fails ends Manual-TERMINAL (:1203-1219) — never falling
+    to the CU/DNB fallbacks."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "zeta financial", "Denver", "CO", 300),
+            (2, "epsilon bank", "Fargo", "ND", 400),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    # two certs for the active name → the fdic_state fallback can never fire
+    fdic = spark.createDataFrame(
+        [
+            (30, "epsilon bank", "Fargo", "ND", 1),
+            (31, "epsilon bank", "Boise", "ID", 1),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    # the events registry carries its own CITY/STATE/PARENT_CITY — the
+    # second loop's probe surface; the parent has NO FDIC-active row, so the
+    # first (state-exact) loop can never accept it
+    events = spark.createDataFrame(
+        [
+            (30, "epsilon bank", -1, "zeta financial", "2020-01-01", "TC",
+             "Reno", "NV", "Denver"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string, city string, state string, "
+        "parent_city string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [
+            # city fails the FDIC gate (path A), the second loop's Reno/NV
+            # row accepts exactly one parent → DNB on 'zeta financial'
+            ("m1", "epsilon bank", "Reno", "NV"),
+            # city fails everything → path-A Manual-terminal
+            ("m2", "epsilon bank", "Salem", "OR"),
+        ],
+        "mention_id string, raw_name string, city string, state string",
+    )
+    rows = {r.mention_id: r for r in run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    ).collect()}
+    m1 = rows["m1"]
+    assert m1.stage == "title_change_loc" and m1.gdun == 300
+    assert m1.best_name == "zetafinancial"
+    m2 = rows["m2"]
+    assert m2.stage == "title_manual"
+    assert m2.gdun == -1 and m2.match_status == "manual"
+    assert m2.duns_count == -1 and m2.fj_duns == -1
+
+
+def test_chain_child_semantics(cascade_result_geo, cascade_result):
+    """Chain-child banks (events children of the A→B→C mergers): a
+    geo-carrying mention passes the member-city-covering FDIC gate and
+    resolves fdic_active to its own gdun; a geo-less one enters the title
+    chain, fails every parent's state-exact gate, and ends Manual-terminal
+    exactly like the reference (:1203-1219)."""
+    geo = cascade_result_geo.filter(
+        F.col("expected_status") == "chain_child_geo"
+    )
+    if geo.count() == 0:
+        pytest.skip("no geo chain-child mentions sampled")
+    bad = geo.filter(
+        (F.col("stage") != "fdic_active") | (F.col("gdun") != F.col("true_gdun"))
+    )
+    assert bad.count() == 0, bad.select(
+        "raw_name", "stage", "gdun", "true_gdun"
+    ).collect()
+    manual = cascade_result.filter(
+        F.col("expected_status") == "chain_child_manual"
+    )
+    if manual.count() == 0:
+        pytest.skip("no geo-less chain-child mentions sampled")
+    badm = manual.filter(
+        (F.col("stage") != "title_manual") | (F.col("gdun") != -1)
+    )
+    assert badm.count() == 0, badm.select(
+        "raw_name", "stage", "gdun", "match_status"
+    ).collect()

@@ -318,7 +318,11 @@ def test_flagship_entries_release_caches(spark, tmp_path, monkeypatch):
     during the call must be unpersisted by the time the entry returns —
     the outputs are localCheckpoint-materialized first, so releasing the
     inputs cannot trigger recomputation."""
-    from pyspark.sql import DataFrame
+    # patch the CONCRETE class: in PySpark 4 `pyspark.sql.DataFrame` is the
+    # abstract base and runtime frames are pyspark.sql.classic.dataframe
+    # instances — patching the base intercepts nothing (a vacuously-green
+    # census; round 5 added the `tracked` non-empty assert that caught it)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from gduns_name_match_spark.plans.flagship import (
         er_neardup_clusters,
@@ -345,6 +349,38 @@ def test_flagship_entries_release_caches(spark, tmp_path, monkeypatch):
     for _ in range(2):
         flagship_neardup(spark, str(tmp_path)).collect()
         er_neardup_clusters(spark, str(tmp_path)).collect()
+    assert tracked, "census saw no persists — the monkeypatch is dead"
+    leaked = [df for df in tracked if df.is_cached]
+    assert not leaked, f"{len(leaked)}/{len(tracked)} frames left cached"
+
+
+def test_cascade_entries_release_caches(spark, monkeypatch):
+    """VERDICT r04 'What's wrong' #1: run_cascade persisted 8 frames (m,
+    dnb, name_parents, reg_names, targets, mb, fdic_gate, pgate) and
+    released none — er_full_cascade / spnv_match_raw / the driver bench
+    leaked them all per invocation; mna_transitions leaked its dnb frame.
+    Both entries must now localCheckpoint their output and unpersist every
+    frame they cached (same census as the flagship entries)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from gduns_name_match_spark.plans.flagship import (
+        er_full_cascade,
+        er_mna_transitions,
+    )
+
+    tracked: list = []
+    orig_persist = DataFrame.persist
+
+    def tracking_persist(self, *a, **k):
+        out = orig_persist(self, *a, **k)
+        tracked.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "persist", tracking_persist)
+    for _ in range(2):
+        er_full_cascade(spark, "unused").count()
+        er_mna_transitions(spark, "unused").count()
+    assert tracked, "census saw no persists — the monkeypatch is dead"
     leaked = [df for df in tracked if df.is_cached]
     assert not leaked, f"{len(leaked)}/{len(tracked)} frames left cached"
 
