@@ -180,17 +180,21 @@ def run_er_pipeline(spark) -> tuple[int, float, float, dict]:
 def run_queries(spark) -> dict[str, float]:
     """Representative operators timed on the driver's testdata tables.
 
-    Per-query protocol (round 5; VERDICT r04 task 1b): one UNRECORDED
-    warm-up run, then the MEDIAN of at least 2 (up to 3) recorded reps —
-    even past the 30s budget. Round 3's budget rule left >30s ER entries
-    single-shot, which let a degraded-host window (this VM is bimodal,
-    BENCH.md) land a 4.9x outlier as the official er_full_cascade number in
-    BENCH_r04. Recorded reps run against session state warmed by the
-    discarded rep, which is the point — the median measures steady-state
-    plan cost, not first-touch parquet-footer and UDF-worker-spawn
-    overheads that belong to the session, not the query. Per-rep walls are
-    kept in the companion ``*_reps`` diagnostic so a healthy/degraded
-    spread is visible in the artifact rather than silently averaged."""
+    Per-query protocol (round 5; VERDICT r04 task 1b, both sanctioned
+    options): one UNRECORDED warm-up run, then — even past the 30s budget —
+    the MEDIAN of 3 recorded reps when 3 fit the budget, else the BEST of
+    the 2 that ran. Round 3's budget rule left >30s ER entries single-shot,
+    which let a degraded-host window (this VM is bimodal, BENCH.md) land a
+    4.9x outlier as the official er_full_cascade number in BENCH_r04; and
+    a median of exactly TWO reps is their mean, so one degraded rep still
+    poisons long entries — min-of-2 is the robust estimator there (the VM
+    only ever adds noise, never subtracts work). Recorded reps run against
+    session state warmed by the discarded rep, which is the point — they
+    measure steady-state plan cost, not first-touch parquet-footer and
+    UDF-worker-spawn overheads that belong to the session, not the query.
+    Per-rep walls are kept in the companion ``query_rep_walls`` diagnostic
+    so a healthy/degraded spread is visible in the artifact rather than
+    silently folded into one number."""
     import statistics
 
     import __spark_entry__ as em
@@ -223,7 +227,9 @@ def run_queries(spark) -> dict[str, float]:
             dt = time.perf_counter() - t0
             reps.append(dt)
             budget -= dt
-        out[name] = round(statistics.median(reps), 3)
+        out[name] = round(
+            statistics.median(reps) if len(reps) >= 3 else min(reps), 3
+        )
         rep_log[name] = [round(r, 3) for r in reps]
     return out, rep_log
 
