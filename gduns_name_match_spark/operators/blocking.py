@@ -51,12 +51,16 @@ class BlockingResult:
     pairs: DataFrame
     stats: DataFrame
     _caches: tuple = field(default_factory=tuple)
+    # False when candidate_pairs(persist_keyed=False) never cached the keyed
+    # inputs — release() then has legitimately nothing keyed to drop and the
+    # double-release warning below must stay quiet
+    _keyed_persisted: bool = True
 
     def __iter__(self):
         return iter((self.pairs, self.stats))
 
     def release(self, include_stats: bool = True) -> None:
-        if not self._caches and include_stats is True:
+        if not self._caches and self._keyed_persisted and include_stats is True:
             _LOG.warning(
                 "BlockingResult.release: no tracked caches (already released?)"
             )
@@ -170,6 +174,7 @@ def candidate_pairs(
     max_block: int = 100_000,
     max_key_pairs: int = 50_000_000,
     n_salt: int = 16,
+    persist_keyed: bool = True,
 ) -> BlockingResult:
     """Join probe rows to registry rows on shared block keys, salted for skew.
 
@@ -188,10 +193,16 @@ def candidate_pairs(
     and tiny; if it ever exceeds the broadcastable bound we fall back to the
     dedup shuffle rather than lose pairs).
     """
-    # both sides are scanned twice (key stats, then the join) — persist so
-    # the normalize+key expression chains run once per row
-    registry_keyed = registry_keyed.persist()
-    probe_keyed = probe_keyed.persist()
+    # both sides are scanned twice (key stats, then the join). persist_keyed
+    # trades one cache write+read of the EXPLODED key frames (3× rows + the
+    # all_keys array — memory-bandwidth traffic that does not speed up with
+    # cores) against recomputing the key expressions in the join pass (CPU
+    # that does). Callers whose upstream is already cached (match_documents
+    # caches norm_map/reg) pass False at high core counts; standalone callers
+    # keep True so the normalize chains run once per row.
+    if persist_keyed:
+        registry_keyed = registry_keyed.persist()
+        probe_keyed = probe_keyed.persist()
     # the drop guard is PAIR VOLUME, not row count: a key with 30k registry
     # rows passes a row cap but meets 30k probes as ~10^9 join outputs —
     # reg_rows × probe_rows is what actually explodes a reducer. Both sides'
@@ -269,7 +280,10 @@ def candidate_pairs(
     # afterwards or a long-lived session accumulates three cached frames per
     # invocation
     return BlockingResult(
-        pairs=pairs, stats=stats, _caches=(probe_keyed, registry_keyed)
+        pairs=pairs,
+        stats=stats,
+        _caches=(probe_keyed, registry_keyed) if persist_keyed else (),
+        _keyed_persisted=persist_keyed,
     )
 
 
