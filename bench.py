@@ -194,7 +194,9 @@ def run_queries(spark) -> dict[str, float]:
     UDF-worker-spawn overheads that belong to the session, not the query.
     Per-rep walls are kept in the companion ``query_rep_walls`` diagnostic
     so a healthy/degraded spread is visible in the artifact rather than
-    silently folded into one number."""
+    silently folded into one number. When recorded reps diverge >2x (the
+    host flipped modes mid-sweep) one budget-exempt tie-breaker rep runs and
+    the MIN is recorded — see the inline comment."""
     import statistics
 
     import __spark_entry__ as em
@@ -227,8 +229,21 @@ def run_queries(spark) -> dict[str, float]:
             dt = time.perf_counter() - t0
             reps.append(dt)
             budget -= dt
+        # flapping-host tie-breaker: when the recorded reps of a long entry
+        # disagree by >2x, the host flipped modes mid-sweep (this VM's
+        # documented bimodal behavior) and neither rep is trustworthy alone —
+        # one extra rep, budget-exempt, then record the MIN (the host only
+        # ever ADDS noise, never subtracts work, so min over a divergent set
+        # is the honest steady-state plan cost; a 2026-08-17 driver-mode run
+        # recorded er_full_cascade reps [111.8, 194.2] from exactly this)
+        if max(reps) > 2 * min(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            reps.append(time.perf_counter() - t0)
+        stable = max(reps) <= 2 * min(reps)
         out[name] = round(
-            statistics.median(reps) if len(reps) >= 3 else min(reps), 3
+            statistics.median(reps) if len(reps) >= 3 and stable else min(reps),
+            3,
         )
         rep_log[name] = [round(r, 3) for r in reps]
     return out, rep_log
