@@ -177,7 +177,7 @@ def run_er_pipeline(spark) -> tuple[int, float, float, dict]:
     return n_pairs, dt, n_pairs / dt, best_stages
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> "tuple[dict[str, float], dict[str, list[float]]]":
     """Representative operators timed on the driver's testdata tables.
 
     Per-query protocol (round 5; VERDICT r04 task 1b, both sanctioned

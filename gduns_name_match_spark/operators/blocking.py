@@ -53,17 +53,22 @@ class BlockingResult:
     _caches: tuple = field(default_factory=tuple)
     # False when candidate_pairs(persist_keyed=False) never cached the keyed
     # inputs — release() then has legitimately nothing keyed to drop and the
-    # double-release warning below must stay quiet
+    # first call must stay quiet
     _keyed_persisted: bool = True
+    # set by release(): a REPEAT call warns regardless of _keyed_persisted
+    # (ADVICE r05 — the old guard conflated 'nothing keyed was cached' with
+    # 'already released' and let a second include_stats=True release
+    # silently unpersist stats twice)
+    _released: bool = False
 
     def __iter__(self):
         return iter((self.pairs, self.stats))
 
     def release(self, include_stats: bool = True) -> None:
-        if not self._caches and self._keyed_persisted and include_stats is True:
-            _LOG.warning(
-                "BlockingResult.release: no tracked caches (already released?)"
-            )
+        if self._released:
+            _LOG.warning("BlockingResult.release: called twice")
+            return
+        self._released = True
         for f in self._caches:
             f.unpersist()
         self._caches = ()

@@ -41,7 +41,11 @@ SPNV_MATCH_RAW_COLUMNS = [
 ]
 
 # stage → reference SOURCE code (automation_final2.py: 'DNB' default :556,
-# FDIC branch SOURCE column, credit_proccess SOURCE= literals :854,890,924)
+# FDIC branch SOURCE column, credit_proccess SOURCE= literals :854,890,924).
+# The title-chain stages carry the matched title-registry row's OWN source
+# through the cascade's branch_source column (dnb_proccess only defaults
+# SOURCE when unset, :556-558) — these literals are the fallback when the
+# registry row's source is blank.
 _STAGE_SOURCE = {
     "fdic_active": "FDIC",
     "fdic_state": "FDIC",
@@ -50,10 +54,16 @@ _STAGE_SOURCE = {
     "title_change_loc": "TC",
     # the failed path-A chain zeroes SOURCE before going Manual (:1211)
     "title_manual": "",
+    # path-B lone-parent CU re-probe (:1303/:1311)
+    "title_cu": "CREDITUNION_ACTIVE",
     "cu_active": "CREDITUNION_ACTIVE",
     "cu_mna": "CREDITUNION_MNA",
     "cu_closed": "CREDITUNION_CLOSED",
 }
+
+# title-chain stages whose branch_source (the registry row's source) wins
+# over the stage literal
+_BRANCH_SOURCE_STAGES = ("title_change", "title_change_loc", "title_change_lq")
 
 # stage → the `inp` literal the reference passes into dnb_proccess /
 # dnb_c_proccess; Manual rows persist it as COMMENTS (:650-673). Call sites:
@@ -70,6 +80,8 @@ _STAGE_MANUAL_COMMENT = {
     # path-A chain fall-through Manual (:1207-1208)
     "title_manual": "Bank with similar name in active and inactive but "
     "locations of either is not matching",
+    "title_cu": "inactive parent mapped in FDIC to a active credit union",
+    "title_dnb": "",
     "cu_active": "Data from credit unions active (unique id)",
     "cu_mna": "Data from credit unions MNA (unique id)",
 }
@@ -80,6 +92,13 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
     src = F.lit("DNB")
     for stage, code in _STAGE_SOURCE.items():
         src = F.when(F.col("stage") == stage, code).otherwise(src)
+    # the title-registry row's own non-blank SOURCE wins for chain rows
+    src = F.when(
+        F.col("stage").isin(*_BRANCH_SOURCE_STAGES)
+        & F.col("branch_source").isNotNull()
+        & (F.col("branch_source") != ""),
+        F.col("branch_source"),
+    ).otherwise(src)
     ns = lambda: F.lit(None).cast("string")  # noqa: E731
     nd = lambda: F.lit(None).cast("double")  # noqa: E731
     nl = lambda: F.lit(None).cast("long")    # noqa: E731
@@ -130,6 +149,9 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
     detail = (
         F.when(F.col("stage") == "cu_closed", F.lit("credit union Liquidates"))
         .when(F.col("stage") == "title_change_lq", F.lit("BANK Liquidates"))
+        # path-B lone-parent CU re-probe (:1304/:1313)
+        .when(F.col("stage") == "title_cu",
+              F.lit("inactive parent mapped in FDIC to a active credit union"))
         .otherwise(ns())
     )
     gdun_name = (
@@ -157,15 +179,34 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         # city/state through the whole run, :1508-1521)
         F.col("m_city_norm").alias("COMPRESSES_SEC_PARTY_CITY"),
         F.col("m_state").alias("COMPRESSES_SEC_PARTY_STATE"),
-        ns().alias("FDIC_ACTIVE_PARENT"),
-        ns().alias("FDIC_INACTIVE_PARENT_IDN"),
-        ns().alias("FDIC_INACTIVE_PARENT_MAP"),
+        # active_name (:1034/:1148/:1302): the matched FDIC-active name for
+        # the bank branches, the matched CU name for the path-B re-probe
+        F.when(
+            F.col("stage").isin("fdic_active", "fdic_state", "title_cu"),
+            F.col("hop_name"),
+        )
+        .otherwise(ns())
+        .alias("FDIC_ACTIVE_PARENT"),
+        # list_of_parents_from_fdic (:1523 rename) — x, threaded from the
+        # per-parent gates (leading comma on co>0 rows, stripped on the
+        # co==0 fall-throughs, exactly like :1132 vs :1172)
+        F.col("list_parents_fdic").alias("FDIC_INACTIVE_PARENT_IDN"),
+        # final_title (:1121/:1192/:1276) = the resolving chained parent
+        F.when(
+            F.col("stage").isin("title_change", "title_change_loc"),
+            F.col("parent_norm"),
+        )
+        .otherwise(ns())
+        .alias("FDIC_INACTIVE_PARENT_MAP"),
+        # 'final active Name': the DNB hop's probe target — the matched FDIC
+        # name (bank branches), the parent's matched FDIC-active name
+        # (title_change :1120), or the parent itself (loc :1193)
         F.when(
             F.col("stage").isin(
                 "fdic_active", "fdic_state", "title_change",
                 "title_change_loc",
             ),
-            F.col("best_name"),
+            F.col("hop_name"),
         )
         .otherwise(ns())
         .alias("FINAL_FDIC_PARENT"),
@@ -184,39 +225,36 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
         src.alias("SOURCE"),
         nl().alias("DNB_UNIQUE_ID"),
         nl().alias("ACTIVE_UNIQUE_ID"),
-        nl().alias("PARENT_UNIQUE_ID"),
+        # parent_unique_count (:1063-1066): 1 iff the matched events name has
+        # exactly one distinct parent, 0 otherwise, NULL off-chain
+        F.col("parent_unique").cast("long").alias("PARENT_UNIQUE_ID"),
         F.col("active_name_dist").cast("double").alias("ACTIVE_NAME_DISTANCE"),
         # the FDIC branch's city-probe distance (reference active_city_dist,
         # automation_final2.py:980) — computed by the cascade's
         # _fdic_city_gate kernel
         F.col("active_city_dist").cast("double").alias("ACTIVE_CITY_DISTANCE"),
         F.col("inactive_title_dist").cast("double").alias("INACTIVE_TITLE_DISTANCE"),
-        # the branch that resolves through a chained parent records its DNB
-        # hop as the parent-name distance (reference Parent_active_distance)
-        F.when(
-            F.col("stage").isin("title_change", "title_change_loc"),
-            F.col("best_dist"),
-        )
-        .otherwise(nd())
-        .cast("double")
-        .alias("PARENT_NAME_DISTANCE"),
-        # parent-city probe approximation: the chained-parent branches' DNB
-        # city-rung distance (the reference records the per-parent FDIC
-        # city-probe distance, :1102 — the engine's _parent_geo_gate decides
-        # on it but does not thread the scalar through; the decision rung's
-        # city distance stands in)
-        F.when(
-            F.col("stage").isin("title_change", "title_change_loc"),
-            F.col("dnb_city_dist"),
-        )
-        .otherwise(nd())
-        .cast("double")
-        .alias("PARENT_CITY_DISTANCE"),
+        # Parent_active_distance (:1115) — p_ac_dis, the accepted parent's
+        # own FDIC-probe distance, threaded from the per-parent gate
+        # (VERDICT r05 task 2 — replaces the r04 DNB-hop stand-in)
+        F.col("parent_active_dist").cast("double").alias(
+            "PARENT_NAME_DISTANCE"
+        ),
+        # parent_city_distance (:1117) — p_c_d, which the reference assigns
+        # from the per-parent STATE probe (:1088, quirk replicated)
+        F.col("parent_city_dist").cast("double").alias(
+            "PARENT_CITY_DISTANCE"
+        ),
         F.col("best_dist").cast("double").alias("DNB_NAME_DISTANCE"),
         F.col("dnb_city_dist").cast("double").alias("DNB_CITY_DISTANCE"),
         detail.alias("DETAIL_INFO"),
         comments.alias("COMMENTS"),
-        F.when(F.col("stage").isin("cu_active", "cu_mna"), F.col("best_name"))
+        # Credit_final_parent (:854/:1300): the matched CU registry name —
+        # the branch's first hop, not the DNB-matched name
+        F.when(
+            F.col("stage").isin("cu_active", "cu_mna", "title_cu"),
+            F.col("hop_name"),
+        )
         .otherwise(ns())
         .alias("CREDIT_UNION_PARENT"),
         F.col("cu_active_dist").cast("double").alias("CREDIT_UNION_ACTIVE_DIST"),

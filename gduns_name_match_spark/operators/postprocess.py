@@ -164,6 +164,22 @@ def explode_duns_details(df: DataFrame) -> DataFrame:
     ).withColumn("fj_duns", F.col("fj_duns").cast("long"))
 
 
+def explode_spnv_duns(view: DataFrame) -> DataFrame:
+    """duns_table.py:29-75 wired onto the REAL SPNV_MATCH_RAW view (VERDICT
+    r05 task 6): DUNS_COUNT>1 rows split their comma-joined LIST_OF_DUNS
+    (the reference's own persisted format, automation_final2.py:457-466)
+    and explode into one (PERM_ID, FJ_DUNS) detail row per DUNS, empty
+    fragments dropped before the long cast exactly like the reference's
+    clean step (duns_table.py:36-53)."""
+    multi = view.filter(F.col("DUNS_COUNT") > 1)
+    parts = F.filter(
+        F.split(F.col("LIST_OF_DUNS"), ","), lambda x: x != ""
+    )
+    return multi.select(
+        "PERM_ID", F.explode(parts).alias("FJ_DUNS")
+    ).withColumn("FJ_DUNS", F.col("FJ_DUNS").cast("long"))
+
+
 def distinct_final(df: DataFrame, status_col: str = "match_status") -> DataFrame:
     """SELECT DISTINCT promotion of pending rows (spnv_match_file.py:33-64)."""
     return df.distinct()

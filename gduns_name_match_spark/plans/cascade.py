@@ -69,11 +69,18 @@ state fallback, the LQ liquidation check (path A only), the title-registry
 second loop (_parent_loc_gate, exactly-one-survivor → DNB on the parent
 name with HQ=PARENT_CITY), and finally Manual-terminal (path A) / the
 credit fallbacks (path B). Path B's lone parent resolves UNGATED on the
-parent name itself (:1255-1281). Residual documented divergences: the
-reference's frame-order picks (first cert, per-iteration SOURCE overwrite)
-are deterministic minima / latest-event-wins here, and a path-B lone
-parent with no FDIC match is not re-probed against CU-active (:1283-1313;
-the engine's CU branches probe the mention instead).
+parent name itself (:1255-1281); a lone parent with NO FDIC match is
+re-probed per the reference (:1283-1316): CU-suffixed original names probe
+the PARENT against CU-active (title_cu → dnb_c on the matched CU name), a
+CU miss goes straight to DNB on the mention (title_dnb), and
+non-CU-suffixed rows fall to the plain DNB fallback — closed in round 6
+(was the last documented behavioral divergence). Residual documented
+divergences (each fixture-bound in tests/test_cascade.py): the reference's
+frame-order picks (first cert, per-iteration SOURCE overwrite) are
+deterministic minima / latest-event-wins here, and the per-parent
+candidate identity is root(parent) where the reference probes the raw
+PARENT_NAME (:1076) — equivalent whenever the registry's own refresh has
+already rewritten parents to their roots (fdic_events.py:379-392).
 """
 
 from __future__ import annotations
@@ -125,10 +132,16 @@ STAGE_RANK = {
     "title_change_lq": 4,
     "title_change_loc": 5,
     "title_manual": 6,
-    "cu_active": 7,
-    "cu_mna": 8,
-    "cu_closed": 9,
-    "dnb_fallback": 10,
+    # path-B lone-parent re-probe (:1283-1316): the CU-suffixed mention's
+    # PARENT probes CU-active (title_cu → dnb_c on the matched CU name); a
+    # CU miss goes STRAIGHT to DNB on the mention (title_dnb) — both return
+    # from inside the chain, so they outrank every credit/DNB fallback
+    "title_cu": 7,
+    "title_dnb": 8,
+    "cu_active": 9,
+    "cu_mna": 10,
+    "cu_closed": 11,
+    "dnb_fallback": 12,
 }
 
 # gdun→GL_ULT_NAM dim rows at or under this count broadcast into the output
@@ -139,6 +152,47 @@ BROADCAST_GNAMES_LIMIT = 1_000_000
 # AND the route flags — two mentions sharing a name but routed differently
 # (corporate vs bank/CU) must decide independently
 PROBE_KEYS = ["m_norm", "m_city_norm", "m_state", "is_corp", "is_cu"]
+
+# per-branch audit scalars threaded into the SPNV compat view (VERDICT r05
+# task 2 — these replace compat.py's documented stand-ins):
+#   hop_name            — the DNB hop's probe target = the reference's
+#                         'final active Name' / 'active_name' family
+#   parent_active_dist  — p_ac_dis, the accepted parent's FDIC-probe distance
+#                         (automation_final2.py:1076 → 'Parent_active_distance')
+#   parent_city_dist    — p_c_d (:1088): the reference assigns the per-parent
+#                         STATE-probe distance to 'parent_city_distance' — a
+#                         reference quirk replicated verbatim
+#   list_parents_fdic   — x (:1077): ','-prefixed full candidate list on co>0
+#                         rows, stripped (:1172) on the co==0 fall-throughs
+#   list_parents_geo    — y (:1106): the accepted-so-far list at emission time
+#                         (the reference's per-iteration partial; its own
+#                         reindex :1523 then DROPS the column — kept here for
+#                         audit tests only)
+#   parent_unique       — parent_unique_count (:1063-1066): 1 iff list_1 has
+#                         exactly one parent, 0 otherwise, NULL off-chain
+#   branch_source       — the title-registry row's own SOURCE riding into the
+#                         SPNV SOURCE column (dnb_proccess only defaults
+#                         SOURCE='DNB' when unset, :556-558)
+_AUDIT_TYPES = {
+    "hop_name": "string",
+    "parent_active_dist": "double",
+    "parent_city_dist": "double",
+    "list_parents_fdic": "string",
+    "list_parents_geo": "string",
+    "parent_unique": "long",
+    "branch_source": "string",
+}
+_AUDIT_NAMES = list(_AUDIT_TYPES)
+
+
+def _audit(hop=None, pad=None, pcd=None, lpf=None, lpg=None, pu=None,
+           bsrc=None):
+    """Audit-column select list with typed-NULL defaults (see _AUDIT_TYPES)."""
+    vals = dict(zip(_AUDIT_NAMES, [hop, pad, pcd, lpf, lpg, pu, bsrc]))
+    return [
+        (v if v is not None else F.lit(None).cast(_AUDIT_TYPES[k])).alias(k)
+        for k, v in vals.items()
+    ]
 
 
 @dataclass
@@ -324,7 +378,7 @@ def _fdic_city_gate(probe_hits: DataFrame, fdic: DataFrame) -> DataFrame:
 _PARENT_GATE_SCHEMA = (
     "m_norm string, m_city_norm string, m_state string, is_corp boolean, "
     "is_cu boolean, t_norm string, pf_name string, state_ok boolean, "
-    "accepted boolean, hq_city string"
+    "accepted boolean, hq_city string, state_dist double"
 )
 
 
@@ -398,6 +452,9 @@ def _parent_geo_gate(rows: DataFrame) -> DataFrame:
                     "state_ok": state_ok,
                     "accepted": accepted,
                     "hq_city": hq,
+                    # p_c_d (:1088) — the reference stores this STATE-probe
+                    # distance under 'parent_city_distance' (quirk kept)
+                    "state_dist": float(sdmin),
                 }
             ]
         )
@@ -407,7 +464,8 @@ def _parent_geo_gate(rows: DataFrame) -> DataFrame:
 
 _PARENT_LOC_SCHEMA = (
     "m_norm string, m_city_norm string, m_state string, is_corp boolean, "
-    "is_cu boolean, t_norm string, loc_ok boolean, hq_city string"
+    "is_cu boolean, t_norm string, loc_ok boolean, hq_city string, "
+    "src string"
 )
 
 
@@ -439,6 +497,7 @@ def _parent_loc_gate(rows: DataFrame) -> DataFrame:
         cdmin = min(cd)
         loc_ok = False
         hq = ""
+        src = None
         if cdmin <= THRESHOLD:
             cstar = min(c for c, d in zip(cities, cd) if d == cdmin)
             m23 = pdf[pdf["e_city"].fillna("") == cstar]
@@ -451,6 +510,9 @@ def _parent_loc_gate(rows: DataFrame) -> DataFrame:
             if len(m24) == 1:
                 loc_ok = True
                 hq = (m24["e_pcity"].fillna("").iloc[0]) or ""
+                # the surviving row's OWN SOURCE rides into SPNV (:1196/:1435
+                # — ADVICE r05: SOURCE was hardcoded 'TC' for loc rows)
+                src = m24["e_source"].fillna("").iloc[0]
         return pd.DataFrame(
             [
                 {
@@ -462,6 +524,7 @@ def _parent_loc_gate(rows: DataFrame) -> DataFrame:
                     "t_norm": first["t_norm"],
                     "loc_ok": loc_ok,
                     "hq_city": hq,
+                    "src": src,
                 }
             ]
         )
@@ -475,11 +538,14 @@ def run_cascade(
     regs: Registries,
     threshold: float = THRESHOLD,
     eager: bool = True,
+    persist_chain: bool = True,
 ) -> DataFrame:
     """mentions: (mention_id, raw_name [, city, state, old_gdun]) →
     one decision row per mention: (mention_id, raw_name, m_norm, route,
     stage, gdun, match_status, best_name, best_dist, list_of_duns,
-    old_gdun, match_ind).
+    old_gdun, match_ind, …audit columns incl. the per-parent gate scalars
+    hop_name / parent_active_dist / parent_city_dist / list_parents_fdic /
+    list_parents_geo / parent_unique / branch_source — see _AUDIT_TYPES).
 
     ``eager=True`` (default) localCheckpoints the decision output and
     unpersists every frame the cascade cached — repeated invocations in a
@@ -626,6 +692,12 @@ def run_cascade(
         fdic.select(F.col("norm_name").alias("t_norm")),
         chained.select(F.col("ultimate_parent").alias("t_norm")),
         name_parents.select(F.col("norm_name").alias("t_norm")),
+        # EVERY per-parent candidate root (ADVICE r05 medium): `chained`
+        # only covers roots of each name's LATEST parent — a multi-parent
+        # event name's non-latest parent that is neither an events child nor
+        # an FDIC/CU name would otherwise lose its DNB score to the best2
+        # semi-join and decide Manual where the reference DNB-probes it
+        par_root.select("t_norm"),
     ]
     targets = None
     for tf in target_frames:
@@ -688,9 +760,12 @@ def run_cascade(
             )
         )
         .unionByName(
+            # parent candidates score under 'dnb' (their DNB hop), 'fdic'
+            # (the per-parent geo gate's FDIC probe) and 'cu' (the path-B
+            # lone-parent CU-active re-probe, :1285-1313)
             par_root.select(
                 F.col("t_norm").alias("m_norm"),
-                F.array(F.lit("dnb"), F.lit("fdic")).alias("ptags"),
+                F.array(F.lit("dnb"), F.lit("fdic"), F.lit("cu")).alias("ptags"),
             ).distinct()
         )
         .groupBy("m_norm")
@@ -810,6 +885,9 @@ def run_cascade(
             empty_hq,
             no_acd,
             no_parent,
+            # hop_name = the matched first-hop name (the reference's
+            # Credit_final_parent / active_credit_name for the CU branches)
+            *_audit(hop=F.col("t_norm")),
         )
 
     branches = []
@@ -822,12 +900,14 @@ def run_cascade(
         corp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_corporate").alias("stage"),
             "dnb_name", "dnb_dist", empty_hq, no_acd, no_parent,
+            *_audit(),
         )
     )
     branches.append(
         noncorp_mb.join(self_hop_corp, "m_norm").select(
             *PROBE_KEYS, F.lit("dnb_fallback").alias("stage"),
             "dnb_name", "dnb_dist", empty_hq, no_acd, no_parent,
+            *_audit(),
         )
     )
 
@@ -859,6 +939,8 @@ def run_cascade(
             F.coalesce("hq_city", F.lit("")).alias("hq_city"),
             F.col("active_city_dist"),
             no_parent,
+            # 'active_name' / 'final active Name' = the matched FDIC name
+            *_audit(hop=F.col("t_norm")),
         )
     )
 
@@ -897,8 +979,18 @@ def run_cascade(
     pf = best_by_tag.filter(F.col("tag") == "fdic").select(
         F.col("m_norm").alias("t_norm"),
         F.col("best_name").alias("pf_name"),
+        # p_ac_dis (:1076) — threaded into PARENT_NAME_DISTANCE
+        F.col("best_dist").alias("pf_dist"),
     )
     cp = chain_parents.join(pf, "t_norm", "left")
+    # the chain-candidate frame feeds ~10 consumers (loop_rows → gate/loc/
+    # manual/x, single_b → 2 branches, lone_cu → 2 branches, n_per_probe →
+    # 5 joins); without a cache each consumer re-executes the window-counted
+    # join subtree inside the one decision job (VERDICT r05 'what's wrong'
+    # #2). persist (lazy, no extra barrier job) over localCheckpoint (eager
+    # barrier) per the round-6 A/B — see BENCH.md; knob kept for re-measure
+    if persist_chain:
+        cp = cp.persist()
     # the gated first loop runs for path A always and path B with >1 parent
     # (path B's single parent takes the UNGATED special block, :1255-1281)
     loop_rows = cp.filter(F.col("path_a") | (F.col("n_parents") > 1))
@@ -918,6 +1010,42 @@ def run_cascade(
         gate_in.select(*PROBE_KEYS, "t_norm", "pf_name", "f_city", "f_state",
                        "cert", "mainoff")
     ).persist()
+
+    # ---- per-probe chain audit scalars (reference x / parent_unique_count,
+    # :1063-1077): n_parents is constant per probe; x is the full candidate
+    # list in the engine's deterministic (sorted) loop order — the
+    # reference's is list_1 frame order, a documented frame-order stand-in
+    n_per_probe = cp.groupBy(*PROBE_KEYS).agg(F.max("n_parents").alias("_np"))
+    _pu = F.when(F.col("_np") == 1, 1).otherwise(0).cast("long")
+    # NULL-preserving variant for branches a probe reaches with OR without
+    # having entered the chain (fdic_state): off-chain rows keep NULL
+    _pu_opt = (
+        F.when(F.col("_np") == 1, 1)
+        .when(F.col("_np").isNotNull(), 0)
+        .cast("long")
+    )
+    x_per_probe = loop_rows.groupBy(*PROBE_KEYS).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("t_norm"))).alias("x_join")
+    )
+    # the (events name, parent-root) pair's SOURCE — latest-event-wins, the
+    # engine's deterministic stand-in for the reference's per-iteration
+    # frame-order overwrite (:1080; fixture-bound in test_cascade)
+    root_src = (
+        events.filter(F.col("parent_norm") != "")
+        .join(
+            par_root.select(
+                F.col("ev_name").alias("norm_name"), "parent_norm", "t_norm"
+            ),
+            ["norm_name", "parent_norm"],
+        )
+        .groupBy(F.col("norm_name").alias("change_name"), "t_norm")
+        .agg(
+            F.max_by("source", F.struct("effdate", "source")).alias(
+                "pair_source"
+            )
+        )
+    )
+    chain_meta = chain_base.select(*PROBE_KEYS, "change_name").distinct()
 
     # state-equality fallback of the city-failed FDIC path (reference
     # :1140-1155 and :1221-1231, Comments 'Fdic name and state matching and
@@ -949,7 +1077,9 @@ def run_cascade(
         .join(kre_pos, PROBE_KEYS, "left_anti")
     )
     branches.append(
-        state_base.join(best2, "t_norm", "left").select(
+        state_base.join(best2, "t_norm", "left")
+        .join(n_per_probe, PROBE_KEYS, "left")
+        .select(
             *PROBE_KEYS, F.lit("fdic_state").alias("stage"),
             "dnb_name", "dnb_dist",
             F.when(F.size("_hqs") == 1, F.get("_hqs", 0))
@@ -957,6 +1087,10 @@ def run_cascade(
             .alias("hq_city"),
             F.col("active_city_dist"),
             no_parent,
+            # a chain-derived row carries parent_unique_count (:1063 set
+            # before the kre==0 fallback, :1143); a title-miss row (:1221)
+            # never had it — _pu_opt keeps those NULL
+            *_audit(hop=F.col("t_norm"), pu=_pu_opt),
         )
     )
 
@@ -968,15 +1102,49 @@ def run_cascade(
     # the -45000 collapse — counting city-ACCEPTED parents, not all
     # distinct parents (the round-4 documented divergence, closed).
     best2_pf = best2.withColumnRenamed("t_norm", "pf_name")
-    branches.append(
+    # y (:1106): the accepted-parents-so-far list at each row's emission —
+    # the reference appends per iteration and never rewrites it after the
+    # loop (unlike x), so each emitted row keeps its partial prefix
+    w_y = (
+        Window.partitionBy(*PROBE_KEYS)
+        .orderBy("t_norm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tc_acc = (
         pgate.filter(F.col("accepted"))
-        .join(best2_pf, "pf_name", "left")
+        .withColumn(
+            "y_partial",
+            F.concat(
+                F.lit(","),
+                F.concat_ws(",", F.collect_list("t_norm").over(w_y)),
+            ),
+        )
+        .join(pf.select("t_norm", "pf_dist"), "t_norm", "left")
+        .join(x_per_probe, PROBE_KEYS, "left")
+        .join(n_per_probe, PROBE_KEYS, "left")
+        .join(chain_meta, PROBE_KEYS, "left")
+        .join(root_src, ["change_name", "t_norm"], "left")
+    )
+    branches.append(
+        tc_acc.join(best2_pf, "pf_name", "left")
         .select(
             *PROBE_KEYS, F.lit("title_change").alias("stage"),
             "dnb_name", "dnb_dist",
             F.coalesce("hq_city", F.lit("")).alias("hq_city"),
             no_acd,
             F.col("t_norm").alias("parent_norm"),
+            *_audit(
+                hop=F.col("pf_name"),
+                pad=F.col("pf_dist"),
+                pcd=F.col("state_dist"),
+                # co>0 rows keep the reference's unstripped leading comma
+                # (the :1132 overwrite uses raw x; only the co==0 paths
+                # strip it, :1172)
+                lpf=F.concat(F.lit(","), F.col("x_join")),
+                lpg=F.col("y_partial"),
+                pu=_pu,
+                bsrc=F.coalesce(F.col("pair_source"), F.lit("")),
+            ),
         )
     )
 
@@ -991,21 +1159,6 @@ def run_cascade(
     # the credit/DNB fallbacks (documented residual divergence: the
     # reference probes the PARENT against CU-active there, :1283-1313; the
     # engine's CU branches probe the mention).
-    root_src = (
-        events.filter(F.col("parent_norm") != "")
-        .join(
-            par_root.select(
-                F.col("ev_name").alias("norm_name"), "parent_norm", "t_norm"
-            ),
-            ["norm_name", "parent_norm"],
-        )
-        .groupBy(F.col("norm_name").alias("change_name"), "t_norm")
-        .agg(
-            F.max_by("source", F.struct("effdate", "source")).alias(
-                "pair_source"
-            )
-        )
-    )
     pf_hq = fdic.groupBy(F.col("norm_name").alias("pf_name")).agg(
         F.sum(F.when(F.col("mainoff") == 1, 1).otherwise(0)).alias("n_main"),
         F.min(F.when(F.col("mainoff") == 1, F.col("norm_city"))).alias(
@@ -1038,6 +1191,57 @@ def run_cascade(
             .alias("hq_city"),
             no_acd,
             F.col("t_norm").alias("parent_norm"),
+            # :1276-1278: final_title / 'final active Name' /
+            # list_of_parents_from_fdic are all the lone parent itself
+            *_audit(
+                hop=F.col("t_norm"),
+                lpf=F.col("t_norm"),
+                pu=F.lit(1).cast("long"),
+                bsrc=F.col("pair_source"),
+            ),
+        )
+    )
+
+    # path-B lone parent with NO FDIC-active match (:1283-1316, VERDICT r05
+    # task 1 — closes the last documented behavioral divergence): the
+    # reference re-probes the PARENT, never the mention. A CU-suffixed
+    # original name probes the parent against CU-active; on acceptance the
+    # decision is dnb_c on the MATCHED CU NAME (state tie-break — both
+    # ID_NCUA branches of :1295-1313 are verbatim-identical, so no gate),
+    # SOURCE='CREDITUNION_ACTIVE'. A CU-probe miss goes straight to
+    # dnb_proccess on the MENTION name (:1314-1316) — returning from inside
+    # the chain, so the mention's own cu_mna/cu_closed hits never fire.
+    # Non-CU-suffixed rows take credit_proccess(NAME) (:1318), whose non-CU
+    # gate is exactly the engine's dnb_fallback fall-through.
+    lone_nofdic = cp.filter(
+        ~F.col("path_a")
+        & (F.col("n_parents") == 1)
+        & F.col("pf_name").isNull()
+    )
+    pcu = best_by_tag.filter(F.col("tag") == "cu").select(
+        F.col("m_norm").alias("t_norm"),
+        F.col("best_name").alias("cu_name"),
+    )
+    lone_cu = lone_nofdic.filter(F.col("is_cu")).join(pcu, "t_norm", "left")
+    branches.append(
+        lone_cu.filter(F.col("cu_name").isNotNull())
+        .join(best2.withColumnRenamed("t_norm", "cu_name"), "cu_name", "left")
+        .select(
+            *PROBE_KEYS, F.lit("title_cu").alias("stage"),
+            "dnb_name", "dnb_dist", empty_hq, no_acd,
+            F.col("t_norm").alias("parent_norm"),
+            # active_credit_name / Credit_final_parent = the matched CU name
+            *_audit(hop=F.col("cu_name"), pu=F.lit(1).cast("long")),
+        )
+    )
+    branches.append(
+        lone_cu.filter(F.col("cu_name").isNull())
+        .join(self_hop_corp, "m_norm", "left")
+        .select(
+            *PROBE_KEYS, F.lit("title_dnb").alias("stage"),
+            "dnb_name", "dnb_dist", empty_hq, no_acd,
+            F.col("t_norm").alias("parent_norm"),
+            *_audit(pu=F.lit(1).cast("long")),
         )
     )
 
@@ -1057,13 +1261,15 @@ def run_cascade(
             .select(
                 F.col("norm_name").alias("change_name"), "t_norm",
                 "e_city", "e_state", "e_pcity",
+                F.col("source").alias("e_source"),
             )
         )
         loc_in = loop_rows.select(
             *PROBE_KEYS, "change_name", "t_norm"
         ).join(ev_loc, ["change_name", "t_norm"])
         ploc = _parent_loc_gate(
-            loc_in.select(*PROBE_KEYS, "t_norm", "e_city", "e_state", "e_pcity")
+            loc_in.select(*PROBE_KEYS, "t_norm", "e_city", "e_state",
+                          "e_pcity", "e_source")
         )
         w_keys = Window.partitionBy(*PROBE_KEYS)
         loc_one = (
@@ -1072,12 +1278,24 @@ def run_cascade(
             .filter(F.col("t50") == 1)
         )
         branches.append(
-            loc_one.join(best2, "t_norm", "left").select(
+            loc_one.join(best2, "t_norm", "left")
+            .join(x_per_probe, PROBE_KEYS, "left")
+            .join(n_per_probe, PROBE_KEYS, "left")
+            .select(
                 *PROBE_KEYS, F.lit("title_change_loc").alias("stage"),
                 "dnb_name", "dnb_dist",
                 F.coalesce("hq_city", F.lit("")).alias("hq_city"),
                 no_acd,
                 F.col("t_norm").alias("parent_norm"),
+                # co==0 rows carry the STRIPPED x (:1172) and an empty y
+                # (:1192 assigns y, which never grew)
+                *_audit(
+                    hop=F.col("t_norm"),
+                    lpf=F.col("x_join"),
+                    lpg=F.lit(""),
+                    pu=_pu,
+                    bsrc=F.col("src"),
+                ),
             )
         )
 
@@ -1093,11 +1311,15 @@ def run_cascade(
         loop_rows.filter(F.col("path_a"))
         .select(*PROBE_KEYS)
         .distinct()
+        .join(x_per_probe, PROBE_KEYS, "left")
+        .join(n_per_probe, PROBE_KEYS, "left")
         .select(
             *PROBE_KEYS, F.lit("title_manual").alias("stage"),
             F.lit(None).cast("string").alias("dnb_name"),
             F.lit(None).cast("double").alias("dnb_dist"),
             empty_hq, no_acd, no_parent,
+            # the Manual return keeps the stripped x assigned at :1156-1158
+            *_audit(lpf=F.col("x_join"), pu=_pu),
         )
     )
 
@@ -1109,6 +1331,7 @@ def run_cascade(
             closed_hit.select(
                 *PROBE_KEYS, F.lit("cu_closed").alias("stage"),
                 "best_name", "best_dist",
+                *_audit(),
             )
         )
     # BANK Liquidates (:1157-1170): fires only on path A's co==0 fall-through
@@ -1119,17 +1342,25 @@ def run_cascade(
     lq_hit = path_a.join(
         ev_hit.join(
             name_parents.filter(F.col("source").endswith("LQ")).select(
-                F.col("norm_name").alias("change_name")
+                F.col("norm_name").alias("change_name"),
+                # the SPNV SOURCE for an LQ row is the triggering parent's
+                # own source code (the -21000 return never rewrites it)
+                F.col("source").alias("lq_source"),
             ),
             "change_name",
         ),
         "m_norm",
     )
     terminals.append(
-        lq_hit.select(
+        lq_hit.join(x_per_probe, PROBE_KEYS, "left")
+        .join(n_per_probe, PROBE_KEYS, "left")
+        .select(
             *PROBE_KEYS, F.lit("title_change_lq").alias("stage"),
             F.col("change_name").alias("best_name"),
             F.col("ev_dist").alias("best_dist"),
+            # :1157-1158 strips x before the LQ return
+            *_audit(lpf=F.col("x_join"), pu=_pu_opt,
+                    bsrc=F.col("lq_source")),
         )
     )
     # path-B single parent whose (events name, parent) source is LQ →
@@ -1139,6 +1370,7 @@ def run_cascade(
             *PROBE_KEYS, F.lit("title_change_lq").alias("stage"),
             F.col("change_name").alias("best_name"),
             F.col("ev_dist").alias("best_dist"),
+            *_audit(pu=F.lit(1).cast("long"), bsrc=F.col("pair_source")),
         )
     )
 
@@ -1151,9 +1383,11 @@ def run_cascade(
     # :957-961,1003,1124
     dnb_branches = dnb_branches.withColumn(
         "geo_mode",
-        F.when(F.col("stage").isin("cu_active", "cu_mna"), "state").otherwise(
-            "city"
-        ),
+        # title_cu resolves through dnb_c_proccess like the CU branches
+        # (:1303/:1311 dnb_c on active_credit_name → STATE rung)
+        F.when(
+            F.col("stage").isin("cu_active", "cu_mna", "title_cu"), "state"
+        ).otherwise("city"),
     ).localCheckpoint()
 
     # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq, mode)
@@ -1210,7 +1444,7 @@ def run_cascade(
             "list_of_duns",
             "min_city_dist", "n_duns", "min_duns", "list_of_gduns",
             "list_of_gdun_names", "refit_capped", "active_city_dist",
-            "parent_norm",
+            "parent_norm", *_AUDIT_NAMES,
         )
     )
     # DNB-hop misses: Manual-terminal at their branch's priority (reference
@@ -1234,6 +1468,7 @@ def run_cascade(
             F.lit(False).alias("refit_capped"),
             F.col("active_city_dist"),
             F.col("parent_norm"),
+            *_AUDIT_NAMES,
         )
     )
     for t in terminals:
@@ -1254,6 +1489,7 @@ def run_cascade(
                 F.lit(False).alias("refit_capped"),
                 F.lit(None).cast("double").alias("active_city_dist"),
                 F.lit(None).cast("string").alias("parent_norm"),
+                *_AUDIT_NAMES,
             )
         )
 
@@ -1352,6 +1588,7 @@ def run_cascade(
         # TEMP2='Y' on multi-parent emission :1137): one group per mention
         F.col("temp2"),
         F.col("parent_norm"),
+        *_AUDIT_NAMES,
     )
     # FJ_GDUN_NAME on success = the winning gdun's GL_ULT_NAM (reference sets
     # gdun_name from the matched row, :455,:547): a join against the
@@ -1373,6 +1610,6 @@ def run_cascade(
     if eager:
         out = out.localCheckpoint()
         for f in (m, dnb, name_parents, reg_names, targets, mb, fdic_gate,
-                  pgate):
+                  pgate, *( [cp] if persist_chain else [] )):
             f.unpersist()
     return out

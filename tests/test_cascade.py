@@ -724,3 +724,391 @@ def test_chain_child_semantics(cascade_result_geo, cascade_result):
     assert badm.count() == 0, badm.select(
         "raw_name", "stage", "gdun", "match_status"
     ).collect()
+
+
+def test_path_b_lone_parent_cu_reprobe(spark):
+    """VERDICT r05 task 1 (the last documented behavioral divergence,
+    closed): a path-B mention (no FDIC match) whose matched events name has
+    ONE chained parent that itself has NO FDIC-active match. The reference
+    re-probes the PARENT, never the mention (automation_final2.py:1283-1316):
+
+    * m1 'first harbor cu' — CU-suffixed; parent 'coastal partners' IS in
+      CU-active → dnb_c on the MATCHED CU NAME (:1295-1313; both ID_NCUA
+      branches are verbatim-identical, so no gate) → gdun 500. The engine's
+      old mention-probing cu_active branch would have taken the decoy CU row
+      'first harbor cu' → DNB → gdun 900.
+    * m2 'second anchor cu' — CU-suffixed; parent 'inland ventures' is in
+      NEITHER FDIC nor CU-active → dnb_proccess on the MENTION name
+      (:1314-1316, CITY mode) → the reno row's gdun 901. The mention-probing
+      cu_active branch (STATE mode, two gduns in NV) would have gone Manual.
+    """
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "coastal partners", "Carson", "NV", 500),
+            (2, "first harbor cu", "Reno", "NV", 900),
+            (3, "second anchor cu", "Reno", "NV", 901),
+            (4, "second anchor cu", "Sparks", "NV", 902),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [(10, "epsilon bank", "Fargo", "ND", 1)],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = spark.createDataFrame(
+        [
+            (40, "first harbor cu", -1, "coastal partners", "2020-01-01", "TC"),
+            (41, "second anchor cu", -1, "inland ventures", "2020-01-01", "TC"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = spark.createDataFrame(
+        [
+            (70, "coastal partners", "Carson", "NV"),
+            (71, "first harbor cu", "Reno", "NV"),
+            (72, "second anchor cu", "Reno", "NV"),
+        ],
+        "ncua_id long, name string, city string, state string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "first harbor cu", "Reno", "NV"),
+            ("m2", "second anchor cu", "Reno", "NV"),
+        ],
+        "mention_id string, raw_name string, city string, state string",
+    )
+    dec = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    )
+    rows = {r.mention_id: r for r in dec.collect()}
+    m1 = rows["m1"]
+    assert m1.stage == "title_cu" and m1.gdun == 500
+    assert m1.parent_norm == "coastalpartners"
+    assert m1.hop_name == "coastalpartners" and m1.parent_unique == 1
+    m2 = rows["m2"]
+    assert m2.stage == "title_dnb" and m2.gdun == 901
+    assert m2.match_status == "matched_city_tiebreak"
+    # SPNV view parity for the re-probe row (:1300-1305)
+    view = {
+        r["PERM_ID"]: r
+        for r in to_spnv_match_raw(dec).collect()
+    }
+    v1 = view["m1"]
+    assert v1["SOURCE"] == "CREDITUNION_ACTIVE"
+    assert v1["CREDIT_UNION_PARENT"] == "coastalpartners"
+    assert v1["FDIC_ACTIVE_PARENT"] == "coastalpartners"
+    assert (
+        v1["DETAIL_INFO"]
+        == "inactive parent mapped in FDIC to a active credit union"
+    )
+    assert v1["PARENT_UNIQUE_ID"] == 1
+    assert view["m2"]["SOURCE"] == "DNB"
+
+
+def test_second_loop_nonlatest_parent_only_in_dnb(spark):
+    """ADVICE r05 medium, closed: a multi-parent event name whose NON-latest
+    parent exists ONLY in DNB (not FDIC/CU, not itself an events child).
+    best2's semi-join to `targets` used to discard that parent's DNB score
+    (targets only carried roots of each name's LATEST parent), so a second-
+    loop acceptance emitted dnb_name=NULL → Manual where the reference
+    DNB-probes the parent (:1193 → :1205 dnb_proccess) and resolves. Every
+    par_root candidate is now unioned into targets."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [(1, "kappa holdings", "Carson City", "NV", 700)],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [(10, "epsilon bank", "Fargo", "ND", 1)],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    # events carry their own geo (the second loop's probe surface); the
+    # LATEST parent is lambda trust — kappa holdings is the non-latest one
+    events = spark.createDataFrame(
+        [
+            (50, "omega bancorp", -1, "kappa holdings", "2019-01-01", "TC",
+             "Reno", "NV", "Carson City"),
+            (51, "omega bancorp", -1, "lambda trust", "2020-01-01", "TC",
+             "Boise", "ID", "Pocatello"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string, city string, state string, "
+        "parent_city string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [("m1", "omega bancorp", "Reno", "NV")],
+        "mention_id string, raw_name string, city string, state string",
+    )
+    dec = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    )
+    (m1,) = dec.collect()
+    assert m1.stage == "title_change_loc"
+    assert m1.best_name == "kappaholdings" and m1.gdun == 700
+    assert m1.match_status == "matched_name"
+    # loc-row audit parity: stripped x (:1172), empty y (:1192), the
+    # surviving registry row's own SOURCE (:1196), final_title = the parent
+    (v1,) = to_spnv_match_raw(dec).collect()
+    assert v1["FDIC_INACTIVE_PARENT_IDN"] == "kappaholdings,lambdatrust"
+    assert v1["FDIC_INACTIVE_PARENT_MAP"] == "kappaholdings"
+    assert v1["FINAL_FDIC_PARENT"] == "kappaholdings"
+    assert v1["PARENT_UNIQUE_ID"] == 0
+    assert v1["SOURCE"] == "TC"
+
+
+def test_lq_source_divergence_bound(spark):
+    """VERDICT r05 task 3a — fixture-bounding the LQ-source divergence: the
+    reference's co==0 LQ check reads row['SOURCE'] as overwritten by the LAST
+    list_1 loop iteration (automation_final2.py:1080 → :1159), i.e. a
+    frame-order artifact of PARENT_NAME.unique(); the engine deterministically
+    reads the LATEST event's source (name_parents max_by effdate). This
+    fixture pins the engine's choice in both directions — two parents whose
+    sources differ ('MERGLQ' vs 'TC'): when the latest event is the LQ one
+    the row liquidates (-21000, SOURCE = the triggering source code); when
+    the latest event is the TC one the chain falls through the second loop
+    (no geo match) to path-A Manual. The reference's answer depends on
+    pandas frame order over the same input, so this is the measured bound,
+    not an exactness claim."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [(1, "tau holdings", "Fargo", "ND", 600)],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    # two certs → the fdic_state fallback can never fire; the mention's city
+    # fails the FDIC gate → path A
+    fdic = spark.createDataFrame(
+        [
+            (30, "sigma bank", "Fargo", "ND", 1),
+            (31, "sigma bank", "Boise", "ID", 1),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+
+    def run(ev_rows):
+        events = spark.createDataFrame(
+            ev_rows,
+            "fdic_id long, name string, parent_fdic_id long, "
+            "parent_name string, effdate string, source string",
+        )
+        mentions = spark.createDataFrame(
+            [("m1", "sigma bank", "Nowhere", "ZZ")],
+            "mention_id string, raw_name string, city string, state string",
+        )
+        (row,) = run_cascade(
+            spark, mentions,
+            Registries(dnb=dnb, fdic_active=fdic, fdic_events=events,
+                       cu_active=cu),
+        ).collect()
+        return row
+
+    # latest event carries the LQ source → liquidated
+    lq_latest = run([
+        (30, "sigma bank", -1, "tau holdings", "2019-01-01", "TC"),
+        (30, "sigma bank", -1, "ups trust", "2020-01-01", "MERGLQ"),
+    ])
+    assert lq_latest.stage == "title_change_lq"
+    assert lq_latest.gdun == -21000
+    assert lq_latest.branch_source == "MERGLQ"
+    # latest event is NOT LQ → the older LQ row never triggers; the chain
+    # falls through (no second-loop geo) to the path-A Manual terminal
+    tc_latest = run([
+        (30, "sigma bank", -1, "tau holdings", "2020-01-01", "TC"),
+        (30, "sigma bank", -1, "ups trust", "2019-01-01", "MERGLQ"),
+    ])
+    assert tc_latest.stage == "title_manual"
+    assert tc_latest.gdun == -1
+
+
+def test_parent_identity_root_divergence_bound(spark):
+    """VERDICT r05 task 3b — fixture-bounding the parent-identity divergence:
+    the reference probes the RAW title-registry PARENT_NAME against FDIC
+    (automation_final2.py:1076); the engine probes root(parent) (pointer-
+    doubled through the events graph), which is equivalent exactly when the
+    registry's own refresh has rewritten parents to their latest downstream
+    parent (the reference's fdic_events refresh does, fdic_events.py:379-392).
+    Chain: 'a bancorp' → 'b holdings' (2019) while 'b holdings' → 'c trust'
+    (2020) is itself an event, i.e. an UNREFRESHED registry.
+
+    * sub-case 1 (root resolvable): the lone-parent candidate is root
+      'c trust'; its FDIC/DNB rows resolve → title_change on the ROOT, never
+      on raw 'b holdings'.
+    * sub-case 2 (only the raw parent resolvable): FDIC/DNB carry
+      'b holdings' but NOT 'c trust' → the engine goes Manual where the
+      reference (on this unrefreshed input) would resolve via the raw
+      parent — the measured bound of the divergence."""
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    events = spark.createDataFrame(
+        [
+            (60, "a bancorp", -1, "b holdings", "2019-01-01", "TC"),
+            (61, "b holdings", -1, "c trust", "2020-01-01", "TC"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [("m1", "a bancorp", "Tulsa", "OK")],
+        "mention_id string, raw_name string, city string, state string",
+    )
+
+    def run(dnb_rows, fdic_rows):
+        dnb = spark.createDataFrame(
+            dnb_rows,
+            "duns_num long, company string, city string, st string, "
+            "gl_ult_dun long",
+        )
+        fdic = spark.createDataFrame(
+            fdic_rows,
+            "fdic_id long, name string, city string, state string, mainoff int",
+        )
+        (row,) = run_cascade(
+            spark, mentions,
+            Registries(dnb=dnb, fdic_active=fdic, fdic_events=events,
+                       cu_active=cu),
+        ).collect()
+        return row
+
+    got = run(
+        [(1, "c trust", "Tulsa", "OK", 800)],
+        [(10, "c trust", "Tulsa", "OK", 1)],
+    )
+    assert got.stage == "title_change" and got.gdun == 800
+    assert got.parent_norm == "ctrust"
+    bound = run(
+        [(1, "b holdings", "Tulsa", "OK", 850)],
+        [(10, "b holdings", "Tulsa", "OK", 1)],
+    )
+    # engine: candidate 'ctrust' matches nothing → Manual; the reference on
+    # this unrefreshed registry would probe raw 'b holdings' → gdun 850
+    assert bound.gdun == -1 and bound.match_status == "manual"
+
+
+def test_title_change_audit_columns(spark):
+    """VERDICT r05 task 2 done-criterion: the per-parent gate scalars thread
+    into the SPNV view on the two-parent fixture. Reuses the
+    test_parent_geo_gate fixture shape: m2 (Omaha/NE) accepts BOTH parents →
+    x = ','-prefixed full candidate list (:1132 keeps the leading comma),
+    y = each row's accepted-so-far prefix (:1106, never rewritten), p_ac_dis
+    = the parent's FDIC-probe distance (:1115), p_c_d = the STATE-probe
+    distance (:1088 quirk), parent_unique_count = 0 (:1066); m1 (Tulsa/OK)
+    accepts only delta → y is delta alone while x still lists both."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.plans.cascade import Registries, run_cascade
+
+    dnb = spark.createDataFrame(
+        [
+            (1, "gamma holdings", "Omaha", "NE", 100),
+            (2, "delta trust", "Tulsa", "OK", 200),
+        ],
+        "duns_num long, company string, city string, st string, gl_ult_dun long",
+    )
+    fdic = spark.createDataFrame(
+        [
+            (20, "gamma holdings", "Omaha", "NE", 1),
+            (21, "delta trust", "Tulsa", "OK", 1),
+            (21, "delta trust", "Omaha", "NE", 0),
+        ],
+        "fdic_id long, name string, city string, state string, mainoff int",
+    )
+    events = spark.createDataFrame(
+        [
+            (40, "old national banc", 20, "gamma holdings", "2019-01-01", "EVTC"),
+            (40, "old national banc", 21, "delta trust", "2020-01-01", "EVTC"),
+        ],
+        "fdic_id long, name string, parent_fdic_id long, parent_name string, "
+        "effdate string, source string",
+    )
+    cu = _empty(spark, "ncua_id long, name string, city string, state string")
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "old national banc", "Tulsa", "OK"),
+            ("m2", "old national banc", "Omaha", "NE"),
+        ],
+        "mention_id string, raw_name string, city string, state string",
+    )
+    dec = run_cascade(
+        spark, mentions,
+        Registries(dnb=dnb, fdic_active=fdic, fdic_events=events, cu_active=cu),
+    )
+    view = to_spnv_match_raw(dec)
+    rows: dict[str, list] = {}
+    for r in view.collect():
+        rows.setdefault(r["PERM_ID"], []).append(r)
+    (v1,) = rows["m1"]
+    assert v1["FDIC_INACTIVE_PARENT_IDN"] == ",deltatrust,gammaholdings"
+    assert v1["FDIC_INACTIVE_PARENT_MAP"] == "deltatrust"
+    assert v1["FINAL_FDIC_PARENT"] == "deltatrust"  # the matched FDIC name
+    assert v1["PARENT_UNIQUE_ID"] == 0
+    # exact FDIC hit for the parent / state-exact (the :1088 quirk) — both
+    # cosine distances, so zero only up to float epsilon
+    assert abs(v1["PARENT_NAME_DISTANCE"]) < 1e-9
+    assert abs(v1["PARENT_CITY_DISTANCE"]) < 1e-9
+    assert v1["SOURCE"] == "EVTC"  # the registry row's own source, not 'TC'
+    v2 = sorted(rows["m2"], key=lambda r: r["FDIC_INACTIVE_PARENT_MAP"])
+    assert len(v2) == 2 and {r["TEMP2"] for r in v2} == {"Y"}
+    assert [r["FDIC_INACTIVE_PARENT_MAP"] for r in v2] == [
+        "deltatrust", "gammaholdings",
+    ]
+    assert all(
+        r["FDIC_INACTIVE_PARENT_IDN"] == ",deltatrust,gammaholdings"
+        for r in v2
+    )
+    # y keeps each emission's partial prefix (engine loop order = sorted)
+    decs = {r.parent_norm: r for r in dec.collect() if r.mention_id == "m2"}
+    assert decs["deltatrust"].list_parents_geo == ",deltatrust"
+    assert decs["gammaholdings"].list_parents_geo == ",deltatrust,gammaholdings"
+
+
+def test_explode_duns_details_on_cascade_output(cascade_result_geo):
+    """VERDICT r05 task 6: duns_table.py's U2 explode wired onto the REAL
+    cascade output — the -67000 / multi-DUNS rows' comma-joined LIST_OF_DUNS
+    round-trips through explode_spnv_duns (per-mention multiset equality,
+    so TEMP2 multi-parent groups sharing a PERM_ID are compared correctly)."""
+    from gduns_name_match_spark.operators.compat import to_spnv_match_raw
+    from gduns_name_match_spark.operators.postprocess import explode_spnv_duns
+
+    view = to_spnv_match_raw(
+        cascade_result_geo.drop(
+            "true_gdun", "ambiguous", "expected_status", "t_city"
+        )
+    ).persist()
+    multi = view.filter(F.col("DUNS_COUNT") > 1)
+    if multi.count() == 0:
+        view.unpersist()
+        pytest.skip("no multi-DUNS rows in the fixture cascade")
+    exploded = explode_spnv_duns(view)
+    got = exploded.groupBy("PERM_ID").agg(
+        F.sort_array(F.collect_list("FJ_DUNS")).alias("got")
+    )
+    want = (
+        multi.select(
+            "PERM_ID",
+            F.explode(
+                F.filter(F.split("LIST_OF_DUNS", ","), lambda x: x != "")
+            ).alias("d"),
+        )
+        .withColumn("d", F.col("d").cast("long"))
+        .groupBy("PERM_ID")
+        .agg(F.sort_array(F.collect_list("d")).alias("want"))
+    )
+    diff = got.join(want, "PERM_ID", "full").filter(
+        (F.col("got").isNull())
+        | (F.col("want").isNull())
+        | (F.col("got") != F.col("want"))
+    )
+    assert diff.count() == 0, diff.limit(5).collect()
+    assert exploded.filter(F.col("FJ_DUNS").isNull()).count() == 0
+    view.unpersist()

@@ -38,9 +38,12 @@ def test_spnv_view_source_codes(small_cascade):
     view = to_spnv_match_raw(small_cascade).persist()
     codes = {r["SOURCE"] for r in view.select("SOURCE").distinct().collect()}
     # '' is the reference's own code for the path-A title-chain Manual rows
-    # (automation_final2.py:1211 zeroes SOURCE before returning Manual)
+    # (automation_final2.py:1211 zeroes SOURCE before returning Manual);
+    # 'MNA' is the fixture events registry's own source code — title-chain
+    # rows carry the matched registry row's SOURCE verbatim (:1080, and
+    # dnb_proccess only defaults SOURCE when unset, :556-558)
     assert codes <= {
-        "DNB", "FDIC", "LQ", "TC", "",
+        "DNB", "FDIC", "LQ", "TC", "MNA", "",
         "CREDITUNION_ACTIVE", "CREDITUNION_MNA", "CREDITUNION_CLOSED",
     }
     # one row per mention, PERM_ID preserved

@@ -113,3 +113,59 @@ def test_ambiguous_get_multiple_sentinel(spark, fixture, result):
 def test_no_silent_key_drops(result):
     dropped = result.key_stats.filter(F.col("is_dropped")).count()
     assert dropped == 0  # fixture scale must not trip the cap
+
+
+@pytest.fixture(scope="module")
+def cascade_tagged(spark, fixture):
+    """Full cascade over the SAME corpus the F1 gate scores, joined to the
+    tagged truth — the chain-regression counters (VERDICT r05 task 7)."""
+    from gduns_name_match_spark.plans.cascade import run_cascade
+
+    truth = fx.truth_df(spark, fixture)
+    dec = run_cascade(
+        spark,
+        truth.select("mention_id", "raw_name", "city", "state"),
+        fx.registries(spark, fixture),
+    )
+    joined = truth.select(
+        "mention_id", "true_gdun", "expected_status",
+        F.col("city").alias("t_city"),
+    ).join(dec, "mention_id").persist()
+    joined.count()
+    return joined
+
+
+def test_stage_accuracy_chain_tags(cascade_tagged):
+    """VERDICT r05 task 7: per-tag STAGE accuracy counters so a title-chain
+    regression moves a number even though ambiguous rows are excluded from
+    the pairwise F1. Geo chain children must resolve fdic_active to their own
+    gdun; geo-less ones end title_manual (:1203-1219); multi-parent mentions
+    emit exactly their TEMP2='Y' per-parent title_change pair."""
+    geo = cascade_tagged.filter(F.col("expected_status") == "chain_child_geo")
+    n_geo = geo.count()
+    if n_geo:
+        ok = geo.filter(
+            (F.col("stage") == "fdic_active")
+            & (F.col("gdun") == F.col("true_gdun"))
+        ).count()
+        assert ok == n_geo, f"chain_child_geo stage accuracy {ok}/{n_geo}"
+    man = cascade_tagged.filter(
+        F.col("expected_status") == "chain_child_manual"
+    )
+    n_man = man.count()
+    if n_man:
+        ok = man.filter(
+            (F.col("stage") == "title_manual") & (F.col("gdun") == -1)
+        ).count()
+        assert ok == n_man, f"chain_child_manual stage accuracy {ok}/{n_man}"
+    mp = cascade_tagged.filter(F.col("expected_status") == "multi_parent")
+    n_mp_mentions = mp.select("mention_id").distinct().count()
+    if n_mp_mentions:
+        ok_rows = mp.filter(
+            (F.col("stage") == "title_change") & (F.col("temp2") == "Y")
+        ).count()
+        assert ok_rows == 2 * n_mp_mentions, (
+            f"multi_parent TEMP2 rows {ok_rows} != 2x{n_mp_mentions}"
+        )
+    if not (n_geo or n_man or n_mp_mentions):
+        pytest.skip("corpus sampled no chain-tagged mentions")
