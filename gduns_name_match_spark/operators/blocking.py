@@ -55,24 +55,30 @@ class BlockingResult:
     # inputs — release() then has legitimately nothing keyed to drop and the
     # first call must stay quiet
     _keyed_persisted: bool = True
-    # set by release(): a REPEAT call warns regardless of _keyed_persisted
-    # (ADVICE r05 — the old guard conflated 'nothing keyed was cached' with
-    # 'already released' and let a second include_stats=True release
-    # silently unpersist stats twice)
+    # released-state flags (ADVICE r05 — the old guard conflated 'nothing
+    # keyed was cached' with 'already released'): keyed and stats caches are
+    # tracked SEPARATELY so the documented two-phase pattern —
+    # release(include_stats=False) now, release(include_stats=True) once the
+    # caller is done with key_stats — still drops stats on the second call
+    # instead of leaking it for the session's lifetime
     _released: bool = False
+    _stats_released: bool = False
 
     def __iter__(self):
         return iter((self.pairs, self.stats))
 
     def release(self, include_stats: bool = True) -> None:
-        if self._released:
+        if not self._released:
+            self._released = True
+            for f in self._caches:
+                f.unpersist()
+            self._caches = ()
+        elif not (include_stats and not self._stats_released):
+            # a true no-op repeat: everything requested is already released
             _LOG.warning("BlockingResult.release: called twice")
             return
-        self._released = True
-        for f in self._caches:
-            f.unpersist()
-        self._caches = ()
-        if include_stats:
+        if include_stats and not self._stats_released:
+            self._stats_released = True
             self.stats.unpersist()
 
 

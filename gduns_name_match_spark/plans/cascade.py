@@ -1192,7 +1192,11 @@ def run_cascade(
             no_acd,
             F.col("t_norm").alias("parent_norm"),
             # :1276-1278: final_title / 'final active Name' /
-            # list_of_parents_from_fdic are all the lone parent itself
+            # list_of_parents_from_fdic are all the lone parent itself.
+            # Parent_active_distance stays NULL by PARITY: the reference's
+            # lone-parent special block (:1255-1277) never assigns it — only
+            # the per-parent loop does (:1115) — even though the FDIC-probe
+            # distance is computed at :1257 and discarded
             *_audit(
                 hop=F.col("t_norm"),
                 lpf=F.col("t_norm"),

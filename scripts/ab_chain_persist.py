@@ -12,7 +12,7 @@ from __future__ import annotations
 import sys
 import time
 
-from gduns_name_match_spark.session import get_session
+from gduns_name_match_spark.session import get_spark
 from gduns_name_match_spark.plans.cascade import run_cascade
 from gduns_name_match_spark.sources import fixtures as fx
 
@@ -20,7 +20,7 @@ from gduns_name_match_spark.sources import fixtures as fx
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    spark = get_session()
+    spark = get_spark(app_name="ab-chain-persist")
     f = fx.generate(n_docs=n_docs, seed=5)
     mentions = fx.truth_df(spark, f).select(
         "mention_id", "raw_name", "city", "state"

@@ -1090,25 +1090,20 @@ def test_explode_duns_details_on_cascade_output(cascade_result_geo):
         view.unpersist()
         pytest.skip("no multi-DUNS rows in the fixture cascade")
     exploded = explode_spnv_duns(view)
-    got = exploded.groupBy("PERM_ID").agg(
-        F.sort_array(F.collect_list("FJ_DUNS")).alias("got")
-    )
-    want = (
-        multi.select(
-            "PERM_ID",
-            F.explode(
-                F.filter(F.split("LIST_OF_DUNS", ","), lambda x: x != "")
-            ).alias("d"),
+    got: dict[str, list[int]] = {}
+    for r in exploded.collect():
+        got.setdefault(r["PERM_ID"], []).append(r["FJ_DUNS"])
+    # expected values computed INDEPENDENTLY of the Spark expression under
+    # test: plain-Python parse of the reference's persisted comma-joined
+    # format (duns_table.py:36-53 — ints, empty fragments dropped)
+    want: dict[str, list[int]] = {}
+    for r in multi.select("PERM_ID", "LIST_OF_DUNS").collect():
+        want.setdefault(r["PERM_ID"], []).extend(
+            int(p) for p in r["LIST_OF_DUNS"].split(",") if p
         )
-        .withColumn("d", F.col("d").cast("long"))
-        .groupBy("PERM_ID")
-        .agg(F.sort_array(F.collect_list("d")).alias("want"))
-    )
-    diff = got.join(want, "PERM_ID", "full").filter(
-        (F.col("got").isNull())
-        | (F.col("want").isNull())
-        | (F.col("got") != F.col("want"))
-    )
-    assert diff.count() == 0, diff.limit(5).collect()
-    assert exploded.filter(F.col("FJ_DUNS").isNull()).count() == 0
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    assert all(d is not None for v in got.values() for d in v)
+    assert sum(len(v) for v in want.values()) > 0
     view.unpersist()
