@@ -135,6 +135,19 @@ _MULTI_PARENT_BANKS = [  # old name with TWO distinct event parents →
     # multi-parent emission (TEMP2='Y') → -45000 collapse
     "ozark plains merchants bank",
 ]
+# path-B lone-parent CU re-probe entities (automation_final2.py:1283-1316;
+# opt-in via generate(n_cu_reprobe=...) — appended AFTER the main rng stream
+# so the v4 bench corpus stays bit-identical): CU-suffixed old names whose
+# single chained parent has NO FDIC-active row. Even-indexed parents sit in
+# CU-active + DNB (→ title_cu, truth = the parent's gdun); odd-indexed
+# parents exist ONLY in the events registry while the MENTION has its own
+# DNB row (→ title_dnb, truth = the mention's gdun).
+_CU_REPROBE_OLD = [
+    ("riverbend mill workers cu", "stonegate holdings cooperative"),
+    ("foundry district employees fcu", "ironworks benefit society"),
+    ("quarry lake operators cu", "fieldhouse mutual alliance"),
+    ("dockside stevedores fcu", "wharfline provident circle"),
+]
 
 
 def _media_ref(rng: random.Random) -> str:
@@ -215,6 +228,7 @@ def generate(
     ambiguous_frac: float = 0.03,
     n_groups: int | None = None,
     typos: bool = False,
+    n_cu_reprobe: int = 0,
 ) -> Fixture:
     """Build the full deterministic fixture set.
 
@@ -530,6 +544,63 @@ def generate(
              "name": name, "parent_name": parent.canonical,
              "city": rng.choice(_CITIES)[0], "state": rng.choice(_CITIES)[1],
              "date_": "2021-02-01", "new_event_ind": 0, "source": "MNA"}
+        )
+
+    # path-B lone-parent CU re-probe appendix (automation_final2.py
+    # :1283-1316; opt-in — see _CU_REPROBE_OLD). Everything here uses an
+    # INDEPENDENT rng-free deterministic layout and only APPENDS rows
+    # (extra docs after doc{n_docs-1}, new registry/event rows at the list
+    # tails), so with n_cu_reprobe=0 — the default, and what bench.py uses —
+    # the v4 corpus is bit-identical and cached bench parquet stays valid.
+    for j in range(n_cu_reprobe):
+        k = j % len(_CU_REPROBE_OLD)  # entity index: extra j's re-mention
+        old_name, parent = _CU_REPROBE_OLD[k]
+        is_cu_variant = k % 2 == 0
+        city, st = _CITIES[(k * 3 + 1) % len(_CITIES)]
+        gdun = (880_000 + k) if is_cu_variant else (890_000 + k)
+        status = "title_cu" if is_cu_variant else "title_dnb"
+        if j < len(_CU_REPROBE_OLD):  # registry/event rows once per entity
+            # the single title-chain event: old → parent (CU-suffixed
+            # mention, path B: neither name has an FDIC-active row)
+            fdic_event_rows.append(
+                {"fdic_id": 83_000 + k, "name": old_name,
+                 "parent_fdic_id": -1, "parent_name": parent,
+                 "effdate": "2020-04-01", "source": "TC",
+                 "new_event_ind": 0}
+            )
+            if is_cu_variant:
+                # parent in CU-active (the re-probe target) + DNB (the
+                # dnb_c decision row) → title_cu, truth = the parent's gdun
+                cu_active_rows.append(
+                    {"id_rssd": 60_000 + k, "ncua_id": 65_000 + k,
+                     "name": parent, "city": city, "state": st,
+                     "source": "NCUA", "gl_ult_dun": gdun}
+                )
+                registry_rows.append(
+                    {"duns_num": 900_000 + k, "company": parent,
+                     "city": city, "st": st, "gl_ult_dun": gdun,
+                     "gl_ult_nam": parent,
+                     "ln_of_bus": "commercial banking", "cur_rec_ind": "Y"}
+                )
+            else:
+                # parent exists ONLY in the events registry (CU probe
+                # misses) → straight to DNB on the MENTION (:1314-1316) →
+                # title_dnb, truth = the mention's own DNB gdun
+                registry_rows.append(
+                    {"duns_num": 905_000 + k, "company": old_name,
+                     "city": city, "st": st, "gl_ult_dun": gdun,
+                     "gl_ult_nam": old_name,
+                     "ln_of_bus": "commercial banking", "cur_rec_ind": "Y"}
+                )
+        doc_id = f"doc{n_docs + j:06d}"
+        documents_rows.append(
+            {"doc_id": doc_id, "spans": [("name", old_name, "", 0)]}
+        )
+        mention_truth.append(
+            {"mention_id": f"{doc_id}#0", "doc_id": doc_id, "span_pos": 0,
+             "raw_name": old_name, "city": city, "state": st,
+             "true_gdun": gdun, "ambiguous": True,
+             "expected_status": status}
         )
 
     # title_change registry geo (reference columns CITY/STATE/PARENT_CITY —

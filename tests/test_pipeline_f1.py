@@ -18,7 +18,10 @@ from gduns_name_match_spark.sources import fixtures as fx
 
 @pytest.fixture(scope="module")
 def fixture():
-    return fx.generate(n_docs=300, seed=42)
+    # n_cu_reprobe appends the path-B lone-parent CU re-probe entities
+    # (round 6) AFTER the main rng stream — the 300 base docs are
+    # bit-identical to prior rounds' corpus
+    return fx.generate(n_docs=300, seed=42, n_cu_reprobe=4)
 
 
 @pytest.fixture(scope="module")
@@ -167,5 +170,16 @@ def test_stage_accuracy_chain_tags(cascade_tagged):
         assert ok_rows == 2 * n_mp_mentions, (
             f"multi_parent TEMP2 rows {ok_rows} != 2x{n_mp_mentions}"
         )
+    # path-B lone-parent re-probe truths (round 6; the fixture appendix
+    # guarantees exactly 4): stage AND gdun must both hold, so a routing or
+    # rank regression in title_cu/title_dnb moves this counter
+    for tag in ("title_cu", "title_dnb"):
+        sub = cascade_tagged.filter(F.col("expected_status") == tag)
+        n = sub.count()
+        assert n == 2, f"{tag}: fixture should carry 2 mentions, got {n}"
+        ok = sub.filter(
+            (F.col("stage") == tag) & (F.col("gdun") == F.col("true_gdun"))
+        ).count()
+        assert ok == n, f"{tag} stage accuracy {ok}/{n}"
     if not (n_geo or n_man or n_mp_mentions):
         pytest.skip("corpus sampled no chain-tagged mentions")
