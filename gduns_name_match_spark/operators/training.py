@@ -82,62 +82,165 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
 # the operator's Jaccard is DEFINED over the df-capped shingle space, mirrored
 # exactly in the DuckDB twin, so correctness and scale agree
 JACCARD_MAX_DF = 1_000
-# shingles between these two get the salted-join treatment (exact results,
-# reducer-bounded), same shape as operators/blocking.py hot keys
+# round(j, 4) >= 0.5 (the operator's acceptor, on Spark's HALF_UP rounding)
+# is exactly j >= 0.49995 — every candidate-pruning bound below is derived
+# from THIS tau, not from 0.5, so the rounding epsilon can never drop a pair
+_JACCARD_TAU = 0.49995
+# kept for API compatibility (r01-r06 exposed the salted-join knobs); the
+# round-7 pigeonhole index bounds every reducer structurally — a pair key's
+# fan-out is <= the df cap — so there is no hot key left to salt
 JACCARD_HOT_DF = 64
 JACCARD_N_SALT = 8
+
+
+def doc_shingle_sets(
+    shingles: DataFrame, max_df: "int | None" = JACCARD_MAX_DF
+) -> DataFrame:
+    """(doc_id, sids sorted array<string>, n) over the (optionally df-capped)
+    shingle space — ONE shingle-generation pass, materialized
+    (localCheckpoint) so the candidate and verify stages both read the
+    aggregate instead of re-deriving the explode->count->join subtree (the
+    round-6 plans computed it up to four times per query; guide §2.4 'remove
+    shuffles outright'). ``max_df=None`` skips the stop-shingle cap entirely
+    (the MinHash operator's Jaccard is defined over the UNCAPPED space).
+
+    Input rows must be distinct per (doc_id, shingle) — the one producer
+    (``_doc_shingles``) array_distincts per document, and the DuckDB twins
+    are defined over ``list_distinct`` shingles."""
+    sh = shingles
+    if max_df is not None:
+        counts = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = shingles.join(
+            counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("sids"))
+        .withColumn("n", F.size("sids"))
+        .localCheckpoint()
+    )
 
 
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     max_df: int = JACCARD_MAX_DF,
-    hot_df: int = JACCARD_HOT_DF,
-    n_salt: int = JACCARD_N_SALT,
+    hot_df: int = JACCARD_HOT_DF,     # noqa: ARG001 — see docstring
+    n_salt: int = JACCARD_N_SALT,     # noqa: ARG001
 ) -> DataFrame:
-    """Near-dup pairs by shingle Jaccard >= 0.5 over (doc_id, shingle) rows.
+    """Near-dup pairs by shingle Jaccard >= 0.5 over distinct
+    (doc_id, shingle) rows. Result is IDENTICAL to the r01-r06 shingle
+    self-join + count formulation (the DuckDB twin); only the plan changed.
 
-    Scale design (the shingle key IS a blocking key):
-    * shingles with df > max_df are excluded from the operator entirely
-      (stop-shingle removal — one boilerplate 3-gram must never produce a
-      quadratic reducer);
-    * shingles with hot_df < df <= max_df are salted: the b-side row fans out
-      to every salt shard, each a-side row draws one deterministic shard, so
-      every (a, b, shingle) co-occurrence still matches exactly once but no
-      single reducer sees a whole hot key.
+    Round-7 scale design — the r06 plan joined the shingle table to itself
+    and counted per-pair co-occurrences: on a saturating shingle vocabulary
+    every df grows linearly with corpus size, so the join's output
+    (sum over shingles of df²) grows QUADRATICALLY even under the df cap
+    (measured 129M intersection rows at 50k docs vs 2.8M at 5k). The rewrite
+    generates a candidate superset in linear volume and verifies it exactly:
+
+    * PIGEONHOLE CANDIDATES — round(J,4) >= 0.5 forces
+      n_inter >= tau/(1+tau)·(na+nb) with tau=0.49995, and the length bound
+      min >= tau·max; for a pair whose larger side sits in size tier
+      [2^e, 2^(e+1)) that means n_inter >= ceil(0.49995·2^e). Hashing the
+      shingle space into G_e = ceil(0.4999·2^e)-1 groups therefore lands >= 2
+      SHARED shingles in one group; both docs emit that within-group shingle
+      pair as an equi-join key, so every qualifying pair is found. Each doc
+      emits its within-group pairs for tiers e_own=floor(log2 n) through
+      e_hi=floor(log2(n/tau)) (the partner may be up to n/tau shingles), at
+      ~n²/(2·G_e) ≈ 2n keys per tier — LINEAR index volume. Docs with n <= 3
+      (whose qualifying partners have < 8 shingles) additionally emit
+      singleton keys. Key/group hashes only ever create false-positive
+      candidates — collisions are harmless because of:
+    * EXACT VERIFY — candidates join the per-doc sorted shingle arrays
+      (doc_shingle_sets) and compute the true intersection with
+      array_intersect; jaccard and the >= 0.5 acceptance are evaluated on
+      exact counts, so the output set equals the naive join's bit-for-bit
+      (equality property-tested incl. tau-boundary corpora,
+      tests/test_training_ops.py).
+
+    Reducer bounds without salting: the per-doc pair generation is keyed by
+    (doc_id, tier, group) — fan-in <= one document; the candidate join is
+    keyed by (tier, shingle-pair) whose df is <= the shingle df cap. The
+    ``hot_df``/``n_salt`` parameters are retained for API compatibility but
+    no longer needed — no single key can exceed the df-cap bound the salted
+    design enforced probabilistically.
     """
-    counts = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = shingles.join(counts.filter(F.col("df") <= max_df), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        "shingle",
-        F.when(
-            F.col("df") > hot_df,
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"),
+    docs = doc_shingle_sets(shingles, max_df)
+    tau = F.lit(_JACCARD_TAU)
+    e_own = F.greatest(F.lit(2), F.floor(F.log2("n")).cast("int"))
+    e_hi = F.floor(F.log2(F.col("n") / tau)).cast("int")
+    tiered = (
+        docs.filter(F.col("n") >= 2)
+        .select(
+            "doc_id", "n", F.explode("sids").alias("s"),
+            F.sequence(F.least(e_own, e_hi), e_hi).alias("tiers"),
         )
-        .otherwise(F.lit(0))
-        .alias("salt"),
+        .select("doc_id", "n", "s", F.explode("tiers").alias("e"))
+        # 2^e stays exact in a double for every realistic tier (e <= 53)
+        .withColumn(
+            "g",
+            F.pmod(
+                F.xxhash64("s"),
+                F.greatest(
+                    F.ceil(F.lit(0.4999) * F.pow(F.lit(2.0), F.col("e"))) - 1,
+                    F.lit(1),
+                ),
+            ).cast("int"),
+        )
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        "shingle",
-        F.explode(
-            F.when(
-                F.col("df") > hot_df, F.sequence(F.lit(0), F.lit(n_salt - 1))
-            ).otherwise(F.array(F.lit(0)))
-        ).alias("salt"),
+    partner = tiered.select(
+        "doc_id", F.col("s").alias("s2"), "e", "g"
     )
-    inter = (
-        a.join(b, ["shingle", "salt"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    idx = (
+        tiered.join(partner, ["doc_id", "e", "g"])
+        .filter(F.col("s") < F.col("s2"))
+        .select("doc_id", "n", "e", F.xxhash64("s", "s2").alias("key"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    len_ok = F.least("na", "nb") >= tau * F.greatest("na", "nb")
+    cand_pairs = (
+        idx.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "e", "key")
+        .join(
+            idx.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "e", "key"
+            ),
+            ["e", "key"],
+        )
+        .filter((F.col("doc_a") < F.col("doc_b")) & len_ok)
+        .select("doc_a", "doc_b")
+    )
+    # singleton leg: a doc with n <= 3 can only qualify against another
+    # n <= 3 doc (min >= tau·max bounds the partner below 8 shingles... and
+    # n_inter >= 1 is the only usable bound there) — join tiny docs on the
+    # raw shingle
+    small = docs.filter(F.col("n") <= 3).select(
+        "doc_id", "n", F.explode("sids").alias("s")
+    )
+    cand_small = (
+        small.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+        .join(
+            small.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s"),
+            "s",
+        )
+        .filter((F.col("doc_a") < F.col("doc_b")) & len_ok)
+        .select("doc_a", "doc_b")
+    )
+    cand = cand_pairs.unionByName(cand_small).distinct()
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sids").alias("_sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sids").alias("_sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -247,24 +350,37 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs: banded-signature candidates (see
-    minhash_band_signatures) verified with true Jaccard >= 0.5."""
-    sh = _doc_shingles(spark, sf_dir)
+    minhash_band_signatures) verified with true Jaccard >= 0.5.
+
+    Round 7: the shingle table is generated ONCE into the per-doc sorted
+    arrays (doc_shingle_sets, uncapped — this operator's Jaccard is defined
+    over the full shingle space) and both the signatures and the verify read
+    that aggregate; the verify computes exact intersections per candidate
+    with array_intersect instead of the r06 candidate×shingle expand join
+    (which re-derived the shingle subtree twice more and shuffled the whole
+    shingle table by (doc_b, shingle)). Result set identical."""
+    docs = doc_shingle_sets(_doc_shingles(spark, sf_dir), max_df=None)
+    sh = docs.select("doc_id", F.explode("sids").alias("shingle"))
     cand = minhash_candidates(sh)
     # verify Jaccard ONLY on LSH candidates — the whole point of banding is
     # to avoid the all-co-shingled-pairs intersection join (the DuckDB twin
     # computes it the naive way; the result set is identical)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sids").alias("_sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sids").alias("_sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),

@@ -485,3 +485,57 @@ def test_zero_token_documents_do_not_abort_text_ops(spark, tmp_path):
 
     curated = q_corpus_curation(spark, str(tmp_path)).collect()
     assert [r["doc_id"] for r in curated] == [1]  # gates drop empties quietly
+
+
+def test_jaccard_pigeonhole_exact_vs_bruteforce(spark):
+    """Round-7 pigeonhole candidate rewrite of ngram_jaccard_pairs: the
+    output must be bit-identical to a brute-force all-pairs Jaccard on an
+    adversarial corpus — tier-boundary sizes (n = 4, 7, 8, 9, 16), tiny docs
+    (n <= 3, the singleton leg), exactly-J=0.5 pairs, and pairs whose sizes
+    straddle a power-of-two tier boundary at the 2x length-filter edge."""
+    from itertools import combinations
+
+    from gduns_name_match_spark.operators.training import ngram_jaccard_pairs
+
+    docs = {
+        # tiny docs (singleton leg)
+        "t1": {"a"}, "t2": {"a"}, "t3": {"a", "b"}, "t4": {"a", "b", "c"},
+        # tier boundaries
+        "p4": {f"w{i}" for i in range(4)},
+        "p7": {f"w{i}" for i in range(7)},
+        "p8": {f"w{i}" for i in range(8)},          # vs p4: I=4,U=8 → J=0.5
+        "p9": {f"w{i}" for i in range(9)},
+        "p16": {f"w{i}" for i in range(16)},        # vs p8: J=0.5 at 2x size
+        # J just below 0.5: I=7, U=15 → 0.4667
+        "q15": {f"w{i}" for i in range(1, 8)} | {f"x{i}" for i in range(8)},
+        # big near-identical pair across a tier boundary (15 vs 17)
+        "r15": {f"y{i}" for i in range(15)},
+        "r17": {f"y{i}" for i in range(15)} | {"z1", "z2"},
+    }
+    rows = [(d, s) for d, ss in docs.items() for s in ss]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    got = {tuple(r) for r in ngram_jaccard_pairs(sh, max_df=1000).collect()}
+    want = set()
+    for a, b in combinations(sorted(docs), 2):
+        i = len(docs[a] & docs[b])
+        j = round(i / len(docs[a] | docs[b]), 4)
+        if j >= 0.5:
+            want.add((a, b, j))
+    assert got == want, (sorted(got - want), sorted(want - got))
+
+
+def test_jaccard_df_cap_still_defines_result(spark):
+    """The df cap is SEMANTIC (the oracle's shingle space): after the
+    pigeonhole rewrite, a capped shingle must still be excluded from both
+    candidate generation and the verify intersection/sizes."""
+    from gduns_name_match_spark.operators.training import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(10):
+        rows.append((f"d{i}", "hot"))             # df=10 > max_df=5 → capped
+        rows.append((f"d{i}", f"own{i}"))
+    rows += [("e1", "s1"), ("e1", "s2"), ("e2", "s1"), ("e2", "s2")]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    got = {tuple(r) for r in ngram_jaccard_pairs(sh, max_df=5).collect()}
+    # 'hot' removed → d-docs have only their own{i} → no pairs; e1/e2 J=1
+    assert got == {("e1", "e2", 1.0)}
