@@ -202,30 +202,98 @@ def _gram_hash(g: str) -> int:
     return (len(g) << 40) | (ord(g[0]) << 32) | zlib.crc32(g.encode())
 
 
+# Vectorized gram matching (round 7): every 1/2/3-gram is mapped to one
+# int64 code — a length-prefixed base-0x110000 positional encoding of its
+# code points (injective for ALL unicode strings up to 3 chars; max value
+# ~2.8e18 < 2^63) — and matched against the registry vocabulary with one
+# searchsorted instead of ~n dict lookups + _gram_hash calls per name. The
+# per-gram Python loop was the round-6 profile's single hottest path for
+# prose-length strings (~1 ms/vector — prose vectors are not memoized, so
+# the near-dup flagship rebuilt one per candidate pair; guide §4.2: hand
+# whole batches to vectorized native code).
+_CODE_BASE = np.int64(0x110000)
+
+
+def _gram_code(g: str) -> int:
+    c = 1
+    for ch in g:
+        c = c * 0x110000 + ord(ch)
+    return c
+
+
+# idf_key -> (sorted gram codes, gram hash per entry, idf weight per entry);
+# built lazily from _IDF_REGISTRY so tests that poke dicts straight into the
+# registry (test_blocking.py) keep working
+_VOCAB_TABLES: dict[str, tuple] = {}
+
+
+def _vocab_table(idf_key: str):
+    tab = _VOCAB_TABLES.get(idf_key)
+    if tab is None:
+        idf = _IDF_REGISTRY[idf_key]
+        vc = np.fromiter(
+            (_gram_code(g) for g in idf), dtype=np.int64, count=len(idf)
+        )
+        vh = np.fromiter(
+            (_gram_hash(g) for g in idf), dtype=np.int64, count=len(idf)
+        )
+        vw = np.fromiter(idf.values(), dtype=np.float64, count=len(idf))
+        order = np.argsort(vc)
+        tab = (vc[order], vh[order], vw[order])
+        _VOCAB_TABLES[idf_key] = tab
+    return tab
+
+
 @lru_cache(maxsize=262144)
 def _tfidf_vector(name: str, idf_key: str):
     """(sorted gram-hash array, weight array, L2 norm) for one compressed
-    name; per-executor cache.
+    name; per-executor cache for name-length strings.
 
     numpy representation instead of dict-of-str: the cache then holds two
     flat buffers per name (GC-untracked, cache-friendly) and the pair dot
     product becomes one C-level sorted intersection — this is what lets the
     scoring stage scale past ~8 concurrent workers (Python small-object
-    churn saturates memory bandwidth well before the CPUs are busy)."""
-    idf = _IDF_REGISTRY[idf_key]
-    acc: dict[int, float] = {}
-    for g in char_ngrams(name):
-        w = idf.get(g)
-        if w is not None:
-            h = _gram_hash(g)
-            acc[h] = acc.get(h, 0.0) + w
-    if not acc:
+    churn saturates memory bandwidth well before the CPUs are busy).
+
+    Construction is fully vectorized: gram codes via a utf-32 view of the
+    stripped string, one searchsorted against the vocabulary table, then a
+    stable sort by gram hash + segment reduction. The stable sort keeps
+    same-hash contributions in gram order, so the per-hash accumulation
+    visits the identical value sequence as the former dict loop (segment
+    sums use numpy's reduction, whose pairwise order can differ from strict
+    left-to-right in the last ulp — cos distances are compared against
+    thresholds with macroscopic margins everywhere downstream, and the
+    full-output regression snapshot in round 7 confirmed bit-identical
+    query results)."""
+    vc, vh, vw = _vocab_table(idf_key)
+    s = _STRIP_RE.sub("", name or "")
+    if not s or len(vc) == 0:
         return _EMPTY_VEC
-    hashes = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    weights = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-    order = np.argsort(hashes)
-    hashes = hashes[order]
-    weights = weights[order]
+    a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    parts = []
+    for n in NGRAM_SIZES:  # same gram inventory and order as char_ngrams
+        if len(a) >= n:
+            c = np.full(len(a) - n + 1, 1, dtype=np.int64)
+            for j in range(n):
+                c = c * _CODE_BASE + a[j : len(a) - n + 1 + j]
+            parts.append(c)
+    if not parts:
+        return _EMPTY_VEC
+    codes = np.concatenate(parts)
+    pos = np.searchsorted(vc, codes)
+    pos[pos == len(vc)] = 0
+    valid = vc[pos] == codes
+    if not valid.any():
+        return _EMPTY_VEC
+    matched = pos[valid]
+    hm = vh[matched]
+    wm = vw[matched]
+    order = np.argsort(hm, kind="stable")
+    hs = hm[order]
+    ws = wm[order]
+    bounds = np.nonzero(np.r_[True, hs[1:] != hs[:-1]])[0]
+    hashes = hs[bounds]
+    weights = np.add.reduceat(ws, bounds)
     norm = float(np.sqrt(np.dot(weights, weights)))
     return hashes, weights, norm
 
@@ -295,6 +363,7 @@ def _register_idf(idf_key: str, idf: dict[str, float]) -> None:
     if len(_IDF_REGISTRY) >= _IDF_REGISTRY_CAP:
         oldest = next(iter(_IDF_REGISTRY))
         del _IDF_REGISTRY[oldest]
+        _VOCAB_TABLES.pop(oldest, None)
         _tfidf_vector.cache_clear()
     _IDF_REGISTRY[idf_key] = idf
 

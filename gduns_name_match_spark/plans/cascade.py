@@ -98,7 +98,7 @@ from gduns_name_match_spark.functions.normalize import (
 )
 from gduns_name_match_spark.functions.similarity import (
     build_idf_by_tag,
-    make_pair_scorer,
+    make_cosine_udf,
     make_tagged_cosine_udf,
 )
 from gduns_name_match_spark.operators.blocking import (
@@ -238,12 +238,29 @@ def _accepted_pairs(
     threshold: float,
     probe_col: str,
     name_col: str,
+    symmetric: bool = False,
 ) -> "tuple[DataFrame, BlockingResult]":
     """One blocking + salted join + Arrow-batched scoring job; returns the
     accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
     BlockingResult handle — the caller must release_blocking_caches(handle)
-    once the accepted set is materialized."""
-    scorer = make_pair_scorer(spark, idf)
+    once the accepted set is materialized.
+
+    Scoring uses the cosine-only kernel (make_cosine_udf): every consumer of
+    this helper reads cos_dist alone, and the full pair scorer additionally
+    runs the O(len²) Jaro-Winkler Python loop for each plausible pair — pure
+    waste here (round-7 profile: JW accounted for a double-digit share of
+    the near-dup flagship's 267s scoring stage). Cos values are identical —
+    both UDFs run the same _score_batch kernel.
+
+    ``symmetric=True`` (valid ONLY when probes and names are the same set)
+    scores each unordered pair once (probe < name) and mirrors the accepted
+    rows afterwards — the kernel volume halves while the returned set is
+    unchanged except that self-pairs (probe == name, cos 0) are dropped;
+    the sole symmetric consumer (near-dup components) discards self-pairs
+    anyway. Cosine is symmetric in its arguments (the kernel orders the two
+    vectors by length internally), so the mirrored rows carry bit-identical
+    distances."""
+    cosine = make_cosine_udf(spark, idf)
     blocking = candidate_pairs(
         with_block_keys(probes, probe_col),
         with_block_keys(names, name_col),
@@ -251,6 +268,9 @@ def _accepted_pairs(
         registry_id=name_col,
         n_salt=4,
     )
+    pairs = blocking.pairs
+    if symmetric:
+        pairs = pairs.filter(F.col(probe_col) < F.col(name_col))
     # JVM length prefilter + core-count repartition before the Python kernel
     # (same rationale as plans/pipeline.py)
     len_ok = (
@@ -260,14 +280,24 @@ def _accepted_pairs(
     # partition BY probe: one exchange serves both the kernel (probe-sorted
     # rows share the cached vector) and the per-probe argmin window
     scored = (
-        blocking.pairs.filter(len_ok)
+        pairs.filter(len_ok)
         .repartition(spark.sparkContext.defaultParallelism * 2, probe_col)
         .sortWithinPartitions(probe_col)
-        .withColumn(
-            "cos_dist", scorer(F.col(probe_col), F.col(name_col)).getField("cos_dist")
-        )
+        .withColumn("cos_dist", cosine(F.col(probe_col), F.col(name_col)))
     )
-    return scored.filter(F.col("cos_dist") <= threshold), blocking
+    accepted = scored.filter(F.col("cos_dist") <= threshold)
+    if symmetric:
+        # materialize the half before mirroring: a lazy self-union would
+        # execute the scoring subtree once per branch, un-doing the halving
+        accepted = accepted.localCheckpoint()
+        accepted = accepted.unionByName(
+            accepted.select(
+                F.col(name_col).alias(probe_col),
+                F.col(probe_col).alias(name_col),
+                "cos_dist",
+            )
+        )
+    return accepted, blocking
 
 
 def _norm_reg(df: DataFrame | None, name_col: str) -> DataFrame | None:
@@ -539,6 +569,7 @@ def run_cascade(
     threshold: float = THRESHOLD,
     eager: bool = True,
     persist_chain: bool = True,
+    timings: dict | None = None,
 ) -> DataFrame:
     """mentions: (mention_id, raw_name [, city, state, old_gdun]) →
     one decision row per mention: (mention_id, raw_name, m_norm, route,
@@ -555,6 +586,19 @@ def run_cascade(
     would go through plans/checkpoint.py to durable storage instead;
     ``eager=False`` returns the lazy plan and leaves cache lifecycle to the
     caller (plan-inspection tests)."""
+    # optional per-barrier wall attribution (driver-side perf_counter marks
+    # around the plan's MATERIALIZING actions; zero effect on the plan —
+    # same contract as match_documents(timings=...))
+    import time as _time
+
+    _t = [_time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[name] = round(now - _t[0], 3)
+        _t[0] = now
+
     has_geo = "city" in mentions.columns
     has_old = "old_gdun" in mentions.columns
     # city/state are join keys through the whole cascade — coalesce to ''
@@ -623,6 +667,7 @@ def run_cascade(
     chained = chase_to_root(
         name_parents.select("norm_name", "parent_norm"), "norm_name", "parent_norm"
     ).withColumnRenamed("root_id", "ultimate_parent")
+    _mark("chase_to_root")
 
     # one candidate per DISTINCT parent of each events name, each chased to
     # its ultimate root: the reference's title_change registry carries
@@ -731,6 +776,7 @@ def run_cascade(
     for fr in idf_frames[1:]:
         tagged_idf_input = tagged_idf_input.unionByName(fr)
     idfs = build_idf_by_tag(tagged_idf_input)
+    _mark("idf_by_tag")
 
     # BOTH passes in ONE scoring job: probes = mentions ∪ targets ∪ parent
     # candidates. The per-(probe, tag) argmin window serves pass 1 (mention →
@@ -814,6 +860,7 @@ def run_cascade(
                 F.col("cos_dist").alias("best_dist"))
         .localCheckpoint()
     )
+    _mark("pass1_score")
     # the checkpoint above materialized the accepted pairs — the blocking
     # caches behind them are dead weight from here on
     release_blocking_caches(blocking)
@@ -1393,6 +1440,7 @@ def run_cascade(
             F.col("stage").isin("cu_active", "cu_mna", "title_cu"), "state"
         ).otherwise("city"),
     ).localCheckpoint()
+    _mark("branches_checkpoint")
 
     # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq, mode)
     SEP = "\u0001"  # cannot appear in normalized (lowercase-alnum) values
@@ -1432,6 +1480,7 @@ def run_cascade(
         group_refit=True,
         mode_col="geo_mode",
     ).select("probe_key", *_DEC_COLS).localCheckpoint()
+    _mark("decide_checkpoint")
 
     resolved = (
         hit.withColumn(
@@ -1613,6 +1662,7 @@ def run_cascade(
         out = out.withColumn("gdun_name", F.lit(None).cast("string"))
     if eager:
         out = out.localCheckpoint()
+        _mark("assemble_out")
         for f in (m, dnb, name_parents, reg_names, targets, mb, fdic_gate,
                   pgate, *( [cp] if persist_chain else [] )):
             f.unpersist()

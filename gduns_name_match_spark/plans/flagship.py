@@ -72,11 +72,15 @@ def _neardup_components(spark: SparkSession, texts: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     idf = build_idf(texts.withColumnRenamed("t_norm", "norm_name"), "norm_name")
+    # symmetric=True: probes and names are the SAME distinct-text set, so
+    # each unordered pair is scored once (m < r) and mirrored — half the
+    # Arrow-kernel volume for an identical accepted set (self-pairs, which
+    # the nonself filter dropped anyway, never reach the kernel at all)
     accepted, pair_stats = _accepted_pairs(
         spark,
         texts.withColumnRenamed("t_norm", "m_norm"),
         texts.withColumnRenamed("t_norm", "r_norm"),
-        idf, THRESHOLD, "m_norm", "r_norm",
+        idf, THRESHOLD, "m_norm", "r_norm", symmetric=True,
     )
     nonself = accepted.filter(F.col("m_norm") != F.col("r_norm")).localCheckpoint()
     release_blocking_caches(pair_stats)
