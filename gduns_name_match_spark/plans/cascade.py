@@ -569,6 +569,7 @@ def run_cascade(
     threshold: float = THRESHOLD,
     eager: bool = True,
     persist_chain: bool = True,
+    lazy_barriers: bool = False,
     timings: dict | None = None,
 ) -> DataFrame:
     """mentions: (mention_id, raw_name [, city, state, old_gdun]) →
@@ -1439,7 +1440,14 @@ def run_cascade(
         F.when(
             F.col("stage").isin("cu_active", "cu_mna", "title_cu"), "state"
         ).otherwise("city"),
-    ).localCheckpoint()
+    )
+    # barrier A/B (VERDICT r06 task 1a): the branch union and the decision
+    # map are full materializations + driver round trips inside the hot job;
+    # lazy_barriers=True swaps the eager localCheckpoints for lazy persists
+    # (plan NOT truncated — planning cost may grow; measured, see BENCH.md)
+    dnb_branches = (
+        dnb_branches.persist() if lazy_barriers else dnb_branches.localCheckpoint()
+    )
     _mark("branches_checkpoint")
 
     # ---- terminal GDUN decision, ONCE per distinct (dnb_name, geo, hq, mode)
@@ -1479,7 +1487,8 @@ def run_cascade(
         probe_hq="hq_city",
         group_refit=True,
         mode_col="geo_mode",
-    ).select("probe_key", *_DEC_COLS).localCheckpoint()
+    ).select("probe_key", *_DEC_COLS)
+    decided = decided.persist() if lazy_barriers else decided.localCheckpoint()
     _mark("decide_checkpoint")
 
     resolved = (
@@ -1664,6 +1673,7 @@ def run_cascade(
         out = out.localCheckpoint()
         _mark("assemble_out")
         for f in (m, dnb, name_parents, reg_names, targets, mb, fdic_gate,
-                  pgate, *( [cp] if persist_chain else [] )):
+                  pgate, *( [cp] if persist_chain else [] ),
+                  *( [dnb_branches, decided] if lazy_barriers else [] )):
             f.unpersist()
     return out
