@@ -108,17 +108,27 @@ def doc_shingle_sets(
     (``_doc_shingles``) array_distincts per document, and the DuckDB twins
     are defined over ``list_distinct`` shingles."""
     sh = shingles
+    cached = None
     if max_df is not None:
-        counts = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = shingles.join(
+        # the df-capped variant reads the shingle stream twice (df counts,
+        # then the capping join): persist the exploded rows for the two
+        # passes — the shingle generation (split + per-window transform) is
+        # the dominant cost of this aggregate, and the localCheckpoint below
+        # is eager so the cache is dropped before returning
+        cached = shingles.persist()
+        counts = cached.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = cached.join(
             counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
         )
-    return (
+    out = (
         sh.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("shingle")).alias("sids"))
         .withColumn("n", F.size("sids"))
         .localCheckpoint()
     )
+    if cached is not None:
+        cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -121,9 +121,12 @@ def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'neardup_rep' (cluster representative), 'neardup_merged' (resolved to a
     different representative)}."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # persisted: the mention stream feeds BOTH the distinct-text derivation
+    # and the final decision join — without the cache the posexplode +
+    # ~20-pass normalize chain runs twice over every document (round 7)
     mentions = extract_name_mentions(as_span_documents(docs)).withColumn(
         "m_norm", _norm(F.col("raw_name"))
-    )
+    ).persist()
     texts = mentions.select(F.col("m_norm").alias("t_norm")).distinct().persist()
     resolved = _neardup_components(spark, texts)
     out = mentions.join(
@@ -148,6 +151,7 @@ def flagship_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persistent-RDD census is flat across invocations)
     out = out.localCheckpoint()
     texts.unpersist()
+    mentions.unpersist()
     return out
 
 
