@@ -539,3 +539,49 @@ def test_jaccard_df_cap_still_defines_result(spark):
     got = {tuple(r) for r in ngram_jaccard_pairs(sh, max_df=5).collect()}
     # 'hot' removed → d-docs have only their own{i} → no pairs; e1/e2 J=1
     assert got == {("e1", "e2", 1.0)}
+
+
+def test_mega_block_salted_complete_and_not_dropped(spark):
+    """Round-7 skew evidence (VERDICT r06 task 2): a 'firstnationalbank'-
+    style mega-block at ~100x the median block size must be SALTED (spread
+    over shards), never dropped, and candidate generation must stay exact —
+    every probe in the mega-block still meets every registry row it shares
+    the key with, exactly once."""
+    from pyspark.sql import functions as F
+
+    from gduns_name_match_spark.operators.blocking import (
+        candidate_pairs,
+        with_block_keys,
+    )
+
+    # median block ~2 rows (unique names); mega block = 200 rows
+    mega = [(f"firstnationalbankof{c:03d}",) for c in range(200)]
+    background = [(f"smallco{i:04d}",) for i in range(200)]
+    reg = spark.createDataFrame(mega + background, "r_norm string")
+    probes = spark.createDataFrame(
+        [(n.replace("bank", "bankk"),) for (n,) in mega[:50]]
+        + background[:50], "m_norm string",
+    )
+    res = candidate_pairs(
+        with_block_keys(probes, "m_norm"),
+        with_block_keys(reg, "r_norm"),
+        probe_id="m_norm", registry_id="r_norm",
+        hot_key_threshold=100, n_salt=8,
+    )
+    stats = {r["block_key"]: r for r in res.stats.collect()}
+    hot = [k for k, r in stats.items() if r["is_hot"]]
+    dropped = [k for k, r in stats.items() if r["is_dropped"]]
+    assert hot, "the 200-row mega-block key must be flagged hot (salted)"
+    assert not dropped, f"nothing is over the caps, yet dropped: {dropped}"
+    # exactness under salting: each probe pairs with each registry row
+    # sharing a key exactly ONCE (min-shared-key ownership, no dupes)
+    pairs = res.pairs.groupBy("m_norm", "r_norm").count()
+    assert pairs.filter(F.col("count") > 1).isEmpty()
+    # the mega-block probes must reach the full block: prefix 'firstnat...'
+    # puts all 200 mega registry rows in one p: block
+    fan = (
+        res.pairs.filter(F.col("m_norm").startswith("firstnat"))
+        .groupBy("m_norm").count().agg(F.min("count")).collect()[0][0]
+    )
+    assert fan == 200, f"salted mega-block lost pairs: min fan-out {fan}"
+    res.release()
