@@ -198,7 +198,8 @@ def _gram_hash(g: str) -> int:
     """Stable 64-bit-ish id for an n-gram: crc32 composed with length+first
     char, collision-free in practice for the <=40^3 char-trigram vocabulary
     (and a collision would only merge two grams deterministically on both
-    sides of every pair)."""
+    sides of every pair). Round 7: no longer the kernel's gram identity (the
+    vocabulary POSITION is — see _tfidf_vector); kept for reference/tests."""
     return (len(g) << 40) | (ord(g[0]) << 32) | zlib.crc32(g.encode())
 
 
@@ -221,9 +222,9 @@ def _gram_code(g: str) -> int:
     return c
 
 
-# idf_key -> (sorted gram codes, gram hash per entry, idf weight per entry);
-# built lazily from _IDF_REGISTRY so tests that poke dicts straight into the
-# registry (test_blocking.py) keep working
+# idf_key -> (sorted gram codes, idf weight per entry); built lazily from
+# _IDF_REGISTRY so tests that poke dicts straight into the registry
+# (test_blocking.py) keep working
 _VOCAB_TABLES: dict[str, tuple] = {}
 
 
@@ -234,19 +235,16 @@ def _vocab_table(idf_key: str):
         vc = np.fromiter(
             (_gram_code(g) for g in idf), dtype=np.int64, count=len(idf)
         )
-        vh = np.fromiter(
-            (_gram_hash(g) for g in idf), dtype=np.int64, count=len(idf)
-        )
         vw = np.fromiter(idf.values(), dtype=np.float64, count=len(idf))
         order = np.argsort(vc)
-        tab = (vc[order], vh[order], vw[order])
+        tab = (vc[order], vw[order])
         _VOCAB_TABLES[idf_key] = tab
     return tab
 
 
 @lru_cache(maxsize=262144)
 def _tfidf_vector(name: str, idf_key: str):
-    """(sorted gram-hash array, weight array, L2 norm) for one compressed
+    """(sorted gram-id array, weight array, L2 norm) for one compressed
     name; per-executor cache for name-length strings.
 
     numpy representation instead of dict-of-str: the cache then holds two
@@ -256,16 +254,19 @@ def _tfidf_vector(name: str, idf_key: str):
     churn saturates memory bandwidth well before the CPUs are busy).
 
     Construction is fully vectorized: gram codes via a utf-32 view of the
-    stripped string, one searchsorted against the vocabulary table, then a
-    stable sort by gram hash + segment reduction. The stable sort keeps
-    same-hash contributions in gram order, so the per-hash accumulation
-    visits the identical value sequence as the former dict loop (segment
-    sums use numpy's reduction, whose pairwise order can differ from strict
-    left-to-right in the last ulp — cos distances are compared against
+    stripped string, one searchsorted against the vocabulary table, then —
+    round 7 — the matched VOCABULARY POSITIONS are the gram identity: a
+    plain np.sort of the positions + run-length bounds yields tf per gram,
+    and weight = idf × tf in one multiply. The earlier gram-HASH identity
+    needed a stable argsort plus add.reduceat segment sums per vector —
+    ~55 µs of the measured 110 µs/vector on prose (BENCH.md round-7
+    profile); positions need only an int sort (~20 µs less) and are
+    collision-free by construction where crc-based hashes were only
+    collision-free in practice. idf×tf vs the old per-occurrence summation
+    can differ in the last ulp — cos distances are compared against
     thresholds with macroscopic margins everywhere downstream, and the
-    full-output regression snapshot in round 7 confirmed bit-identical
-    query results)."""
-    vc, vh, vw = _vocab_table(idf_key)
+    full-output regression snapshot (round 7) checks every declared query."""
+    vc, vw = _vocab_table(idf_key)
     s = _STRIP_RE.sub("", name or "")
     if not s or len(vc) == 0:
         return _EMPTY_VEC
@@ -285,17 +286,13 @@ def _tfidf_vector(name: str, idf_key: str):
     valid = vc[pos] == codes
     if not valid.any():
         return _EMPTY_VEC
-    matched = pos[valid]
-    hm = vh[matched]
-    wm = vw[matched]
-    order = np.argsort(hm, kind="stable")
-    hs = hm[order]
-    ws = wm[order]
-    bounds = np.nonzero(np.r_[True, hs[1:] != hs[:-1]])[0]
-    hashes = hs[bounds]
-    weights = np.add.reduceat(ws, bounds)
+    matched = np.sort(pos[valid])
+    bounds = np.nonzero(np.r_[True, matched[1:] != matched[:-1]])[0]
+    ids = matched[bounds]
+    tf = np.diff(np.r_[bounds, len(matched)])
+    weights = vw[ids] * tf
     norm = float(np.sqrt(np.dot(weights, weights)))
-    return hashes, weights, norm
+    return ids, weights, norm
 
 
 _EMPTY_VEC = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0.0)
@@ -498,11 +495,15 @@ def make_pair_scorer(spark: SparkSession, idf: dict[str, float]):
     return score_pairs
 
 
-# sentinel for empty vectors inside the batched kernel: one impossible hash
-# (all real gram hashes are positive), weight 0 — keeps reduceat segments
-# non-empty and strictly increasing
+# sentinel for empty vectors inside the batched kernel: one impossible gram
+# id (real ids are vocabulary positions >= 0), weight 0 — keeps reduceat
+# segments non-empty and strictly increasing
 _SENTINEL_H = np.array([-1], dtype=np.int64)
 _SENTINEL_W = np.array([0.0], dtype=np.float64)
+
+# per-batch memo bound: prose vectors are ~11 KB; 16k entries caps the
+# transient at ~180 MB per in-flight batch, freed when the batch returns
+_BATCH_MEMO_MAX = 16384
 
 
 def _score_batch(
@@ -512,11 +513,20 @@ def _score_batch(
     scored with ONE searchsorted over the concatenated registry vectors and
     segment-reduced dots (np.add.reduceat) — per-pair numpy call overhead and
     allocation rate drop ~5x vs pair-at-a-time, which is what the 32-way
-    memory-bandwidth ceiling responds to."""
+    memory-bandwidth ceiling responds to.
+
+    The r-side vectors additionally memoize WITHIN the batch (round 7): on
+    block-locality-ordered pair streams (see _accepted_pairs
+    partition_by_probe=False) one registry text recurs across many adjacent
+    probe groups, and prose-length vectors are too large for the global
+    cache — without the memo every recurrence pays the full ~90 µs
+    construction (the round-7 profile's dominant near-dup cost). Bounded;
+    name-length strings still hit the global lru first via _vector_for."""
     n = len(lvals)
     cos = np.ones(n)
     jw = np.zeros(n)
     tsr = np.zeros(n)
+    memo: dict = {}
     order = np.argsort(lvals, kind="stable")
     i = 0
     while i < n:
@@ -531,9 +541,18 @@ def _score_batch(
             continue  # cos stays 1.0 for the whole group
         hb_list, wb_list, nb_arr, lens = [], [], [], []
         for k in idxs:
-            hb, wb, nb = _vector_for(rvals[k], key)
-            if nb == 0.0 or len(hb) == 0:
-                hb, wb, nb = _SENTINEL_H, _SENTINEL_W, 0.0
+            rv = rvals[k]
+            vec = memo.get(rv)
+            if vec is None:
+                hb, wb, nb = _vector_for(rv, key)
+                if nb == 0.0 or len(hb) == 0:
+                    vec = (_SENTINEL_H, _SENTINEL_W, 0.0)
+                else:
+                    vec = (hb, wb, nb)
+                if len(memo) >= _BATCH_MEMO_MAX:
+                    memo.clear()
+                memo[rv] = vec
+            hb, wb, nb = vec
             hb_list.append(hb)
             wb_list.append(wb)
             nb_arr.append(nb)

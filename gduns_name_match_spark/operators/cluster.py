@@ -69,18 +69,63 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) where component = min node id of the component.
 
     ``edges`` is an undirected edge list; isolated nodes are the caller's
     concern (left-join and coalesce(component, node)).
-    """
+
+    Hybrid execution (round 7, the chase_to_root pattern): the accepted
+    near-dup edge set is orders of magnitude smaller than the corpus (the
+    50k-doc profile: ~25k edges feeding 5-8 star rounds of ~2 jobs each —
+    18-26s of pure scheduling for a graph a union-find folds in
+    milliseconds). At or below ``driver_threshold`` edges the components
+    are computed with one collect + path-compressed union-find keyed by
+    min node — identical (node, component=min(component)) output
+    (tests/test_cluster.py asserts driver-vs-distributed equality). Above
+    the threshold the O(log n)-round large/small-star join loop runs
+    distributed, unchanged."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= driver_threshold:
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e.collect():
+            a, b = row["src"], row["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN: the representative is the component's
+                # smallest node, matching the star-contraction output
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        node_t = e.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_t),
+                T.StructField("component", node_t),
+            ]
+        )
+        rows = [(x, find(x)) for x in parent]
+        return e.sparkSession.createDataFrame(rows, schema)
     prev = _edge_checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -239,6 +239,7 @@ def _accepted_pairs(
     probe_col: str,
     name_col: str,
     symmetric: bool = False,
+    partition_by_probe: bool = True,
 ) -> "tuple[DataFrame, BlockingResult]":
     """One blocking + salted join + Arrow-batched scoring job; returns the
     accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
@@ -259,7 +260,22 @@ def _accepted_pairs(
     the sole symmetric consumer (near-dup components) discards self-pairs
     anyway. Cosine is symmetric in its arguments (the kernel orders the two
     vectors by length internally), so the mirrored rows carry bit-identical
-    distances."""
+    distances.
+
+    ``partition_by_probe=False`` (round 7) skips the probe-hash repartition
+    and scores the block join's NATURAL output order. For prose-length
+    texts the repartition is doubly wrong: it shuffles the full pair stream
+    (two ~500-byte texts per row — at 50k docs, ~2 GB moved to save a
+    later shuffle of the ~1000× smaller accepted set), and it DESTROYS
+    block locality — a text recurs as r-side ~|block| times, but hashed by
+    probe those recurrences scatter over every partition, so the
+    un-memoizable prose vector is rebuilt per pair (~90 µs each, the
+    dominant near-dup cost in the round-7 profile). The join's own output
+    keeps each block's pairs adjacent, where the kernel's in-batch memo
+    catches both sides (guide §2.3/§2.4: shuffle fewer bytes, remove the
+    exchange outright). Name-length consumers (the cascade) keep True:
+    their vectors memoize globally, and the argmin window downstream reuses
+    the probe partitioning."""
     cosine = make_cosine_udf(spark, idf)
     blocking = candidate_pairs(
         with_block_keys(probes, probe_col),
@@ -277,13 +293,16 @@ def _accepted_pairs(
         F.least(F.length(probe_col), F.length(name_col))
         >= 0.4 * F.greatest(F.length(probe_col), F.length(name_col))
     )
-    # partition BY probe: one exchange serves both the kernel (probe-sorted
-    # rows share the cached vector) and the per-probe argmin window
-    scored = (
-        pairs.filter(len_ok)
-        .repartition(spark.sparkContext.defaultParallelism * 2, probe_col)
-        .sortWithinPartitions(probe_col)
-        .withColumn("cos_dist", cosine(F.col(probe_col), F.col(name_col)))
+    pairs = pairs.filter(len_ok)
+    if partition_by_probe:
+        # partition BY probe: one exchange serves both the kernel (probe-
+        # sorted rows share the cached vector) and the per-probe argmin
+        # window
+        pairs = pairs.repartition(
+            spark.sparkContext.defaultParallelism * 2, probe_col
+        ).sortWithinPartitions(probe_col)
+    scored = pairs.withColumn(
+        "cos_dist", cosine(F.col(probe_col), F.col(name_col))
     )
     accepted = scored.filter(F.col("cos_dist") <= threshold)
     if symmetric:

@@ -76,11 +76,16 @@ def _neardup_components(spark: SparkSession, texts: DataFrame) -> DataFrame:
     # each unordered pair is scored once (m < r) and mirrored — half the
     # Arrow-kernel volume for an identical accepted set (self-pairs, which
     # the nonself filter dropped anyway, never reach the kernel at all)
+    # partition_by_probe=False: score in the block join's natural order —
+    # prose vectors don't memoize globally, so block locality (+ the kernel's
+    # in-batch memo) is what keeps construction off the per-pair path, and
+    # the full text-pair stream never takes an extra exchange (round 7)
     accepted, pair_stats = _accepted_pairs(
         spark,
         texts.withColumnRenamed("t_norm", "m_norm"),
         texts.withColumnRenamed("t_norm", "r_norm"),
         idf, THRESHOLD, "m_norm", "r_norm", symmetric=True,
+        partition_by_probe=False,
     )
     nonself = accepted.filter(F.col("m_norm") != F.col("r_norm")).localCheckpoint()
     release_blocking_caches(pair_stats)

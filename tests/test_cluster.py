@@ -66,6 +66,42 @@ def test_cc_long_chain(spark):
     assert len(got) == 100
 
 
+def test_cc_distributed_matches_union_find(spark):
+    """driver_threshold=0 forces the large/small-star join loop — the
+    round-7 driver fast path must not become the only covered branch."""
+    rng = random.Random(11)
+    nodes = list(range(1, 301))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    touched = {n for e in edges for n in e}
+    for n in touched:
+        assert got[n] == expected[n]
+
+
+def test_cc_driver_fastpath_parity(spark):
+    """Driver union-find and distributed star contraction must emit the
+    IDENTICAL (node, component) set — same nodes, same min-representatives —
+    on a graph with chains, merges, and string node ids (the near-dup
+    callers cluster on normalized text keys)."""
+    rng = random.Random(5)
+    edges = [(f"n{rng.randint(0, 120):03d}", f"n{rng.randint(0, 120):03d}")
+             for _ in range(150)]
+    edges += [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]  # path graph
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, connected_components(df, driver_threshold=0).collect())
+    )
+    assert fast == dist
+
+
 def test_cc_permutation_invariance(spark):
     edges = [(5, 9), (9, 2), (14, 3), (3, 2), (40, 41)]
     a = connected_components(spark.createDataFrame(edges, ["src", "dst"]))
