@@ -240,6 +240,7 @@ def _accepted_pairs(
     name_col: str,
     symmetric: bool = False,
     partition_by_probe: bool = True,
+    persist_keyed: bool = True,
 ) -> "tuple[DataFrame, BlockingResult]":
     """One blocking + salted join + Arrow-batched scoring job; returns the
     accepted (probe, name, cos_dist) pairs (dist <= threshold) plus the
@@ -283,6 +284,7 @@ def _accepted_pairs(
         probe_id=probe_col,
         registry_id=name_col,
         n_salt=4,
+        persist_keyed=persist_keyed,
     )
     pairs = blocking.pairs
     if symmetric:
