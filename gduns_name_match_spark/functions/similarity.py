@@ -479,6 +479,15 @@ def make_pair_scorer(spark: SparkSession, idf: dict[str, float]):
     token_set). The IDF map ships to executors as a Spark broadcast once per
     registry; vectors are memoized per unique string per executor, so a hot
     registry name is vectorized once, not once per candidate pair.
+
+    Marked non-deterministic (round 7, guide §4.4) — the kernel is in fact
+    deterministic, but every consumer filters on the score column, and the
+    optimizer's filter pushdown then evaluates the UDF TWICE (one
+    ArrowEvalPython under the pushed filter, a second in the projection
+    re-computing the column for the survivors — both visible in
+    plans/r07/er_neardup_scoring_before.txt (77)/(80)). The flag forbids the
+    duplication, leaving one evaluation; accepted rows no longer pay the
+    kernel twice.
     """
     bc = spark.sparkContext.broadcast(idf)
     token = _new_token("pair")
@@ -492,7 +501,7 @@ def make_pair_scorer(spark: SparkSession, idf: dict[str, float]):
         cos, jw, tsr = _score_batch(lvals, rvals, key)
         return pd.DataFrame({"cos_dist": cos, "jw_sim": jw, "token_set": tsr})
 
-    return score_pairs
+    return score_pairs.asNondeterministic()
 
 
 # sentinel for empty vectors inside the batched kernel: one impossible gram
@@ -615,7 +624,9 @@ def make_tagged_cosine_udf(spark: SparkSession, idfs: dict[str, dict[str, float]
             out[m] = cos
         return pd.Series(out)
 
-    return tagged_cosine
+    # non-deterministic flag: stop the pushed threshold filter duplicating
+    # the kernel (see make_pair_scorer)
+    return tagged_cosine.asNondeterministic()
 
 
 def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):
@@ -638,4 +649,6 @@ def make_cosine_udf(spark: SparkSession, idf: dict[str, float]):
         cos, _jw, _tsr = _score_batch(lvals, rvals, key, compute_jw=False)
         return pd.Series(cos)
 
-    return cosine_dist
+    # non-deterministic flag: stop the pushed threshold filter duplicating
+    # the kernel (see make_pair_scorer)
+    return cosine_dist.asNondeterministic()

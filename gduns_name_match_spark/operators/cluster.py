@@ -109,8 +109,11 @@ def connected_components(
         # columns in batches (a 444k-edge prose graph collected as Rows
         # measured 5.7s; the Arrow frame ~1s — guide §6 'Arrow for driver
         # transfers')
+        # tolist(), not to_numpy(): numpy scalars (int64) from the pandas
+        # columns would flow through the union-find into createDataFrame,
+        # which rejects numpy types for LongType nodes
         pdf = e.toPandas()
-        for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             if a not in parent:
                 parent[a] = a
             if b not in parent:
