@@ -51,10 +51,6 @@ class BlockingResult:
     pairs: DataFrame
     stats: DataFrame
     _caches: tuple = field(default_factory=tuple)
-    # False when candidate_pairs(persist_keyed=False) never cached the keyed
-    # inputs — release() then has legitimately nothing keyed to drop and the
-    # first call must stay quiet
-    _keyed_persisted: bool = True
     # released-state flags (ADVICE r05 — the old guard conflated 'nothing
     # keyed was cached' with 'already released'): keyed and stats caches are
     # tracked SEPARATELY so the documented two-phase pattern —
@@ -294,7 +290,6 @@ def candidate_pairs(
         pairs=pairs,
         stats=stats,
         _caches=(probe_keyed, registry_keyed) if persist_keyed else (),
-        _keyed_persisted=persist_keyed,
     )
 
 

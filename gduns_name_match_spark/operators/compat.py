@@ -92,11 +92,15 @@ def to_spnv_match_raw(decisions: DataFrame) -> DataFrame:
     src = F.lit("DNB")
     for stage, code in _STAGE_SOURCE.items():
         src = F.when(F.col("stage") == stage, code).otherwise(src)
-    # the title-registry row's own non-blank SOURCE wins for chain rows
+    # the title-registry row's own SOURCE wins for chain rows — VERBATIM,
+    # including a blank one (ADVICE r06): the reference's per-parent loop
+    # always assigns SOURCE from the registry row (automation_final2.py:1080)
+    # and dnb_proccess only defaults 'DNB' when SOURCE is entirely unset
+    # (:557-558), so a blank registry value must pass through as blank
+    # rather than fall back to the stage literal
     src = F.when(
         F.col("stage").isin(*_BRANCH_SOURCE_STAGES)
-        & F.col("branch_source").isNotNull()
-        & (F.col("branch_source") != ""),
+        & F.col("branch_source").isNotNull(),
         F.col("branch_source"),
     ).otherwise(src)
     ns = lambda: F.lit(None).cast("string")  # noqa: E731

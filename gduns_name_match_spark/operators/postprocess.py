@@ -167,10 +167,14 @@ def explode_duns_details(df: DataFrame) -> DataFrame:
 def explode_spnv_duns(view: DataFrame) -> DataFrame:
     """duns_table.py:29-75 wired onto the REAL SPNV_MATCH_RAW view (VERDICT
     r05 task 6): DUNS_COUNT>1 rows split their comma-joined LIST_OF_DUNS
-    (the reference's own persisted format, automation_final2.py:457-466)
-    and explode into one (PERM_ID, FJ_DUNS) detail row per DUNS, empty
-    fragments dropped before the long cast exactly like the reference's
-    clean step (duns_table.py:36-53)."""
+    and explode into one (PERM_ID, FJ_DUNS) detail row per DUNS. The
+    reference persists the list LEADING-comma (dunli=dunli+','+str(i),
+    automation_final2.py:457-466) and its consumer drops the empty first
+    fragment (duns_table.py:44 split(',')[1:]); the engine's concat_ws view
+    intentionally omits the leading comma — the empty-fragment filter below
+    handles BOTH formats, so this explode consumes either, while a
+    reference-style [1:] slice over the engine view would drop the first
+    DUNS (ADVICE r06)."""
     multi = view.filter(F.col("DUNS_COUNT") > 1)
     parts = F.filter(
         F.split(F.col("LIST_OF_DUNS"), ","), lambda x: x != ""
