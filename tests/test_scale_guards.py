@@ -585,3 +585,49 @@ def test_mega_block_salted_complete_and_not_dropped(spark):
     )
     assert fan == 200, f"salted mega-block lost pairs: min fan-out {fan}"
     res.release()
+
+
+def test_accepted_pairs_partitioning_invariant(spark):
+    """partition_by_probe=False (the round-7 block-locality scoring order)
+    must accept the IDENTICAL (probe, name, cos_dist) set as the
+    probe-partitioned plan — the partitioning choice is an execution detail,
+    never a semantic one. Mixed-length corpus so both the short-key and the
+    band-key blocking regimes are exercised."""
+    from gduns_name_match_spark.functions.similarity import build_idf
+    from gduns_name_match_spark.operators.blocking import (
+        release_blocking_caches,
+    )
+    from gduns_name_match_spark.operators.resolve import THRESHOLD
+    from gduns_name_match_spark.plans.cascade import _accepted_pairs
+
+    base = [
+        "firstnationalbank", "firstnationalbankna", "wellsfargobank",
+        "citizensstatebank", "citizensstatebankna",
+    ]
+    prose = [
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        * 3,
+        "the quick brown fox jumps over the lazy dog near the river bend "
+        * 3,
+        "a completely different long document about spark shuffle tuning "
+        * 3,
+    ]
+    texts = spark.createDataFrame(
+        [(t.replace(" ", ""),) for t in base + prose], ["t_norm"]
+    )
+    idf = build_idf(texts.withColumnRenamed("t_norm", "norm_name"), "norm_name")
+
+    def run(partitioned: bool):
+        acc, stats = _accepted_pairs(
+            spark,
+            texts.withColumnRenamed("t_norm", "m_norm"),
+            texts.withColumnRenamed("t_norm", "r_norm"),
+            idf, THRESHOLD, "m_norm", "r_norm", symmetric=True,
+            partition_by_probe=partitioned,
+        )
+        rows = {(r["m_norm"], r["r_norm"], r["cos_dist"]) for r in acc.collect()}
+        release_blocking_caches(stats)
+        return rows
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) > 0
