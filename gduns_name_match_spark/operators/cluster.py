@@ -70,6 +70,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     driver_threshold: int = 500_000,
+    driver_byte_threshold: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """(node, component) where component = min node id of the component.
 
@@ -80,19 +81,34 @@ def connected_components(
     near-dup edge set is orders of magnitude smaller than the corpus (the
     50k-doc profile: ~25k edges feeding 5-8 star rounds of ~2 jobs each —
     18-26s of pure scheduling for a graph a union-find folds in
-    milliseconds). At or below ``driver_threshold`` edges the components
-    are computed with one collect + path-compressed union-find keyed by
-    min node — identical (node, component=min(component)) output
-    (tests/test_cluster.py asserts driver-vs-distributed equality). Above
-    the threshold the O(log n)-round large/small-star join loop runs
-    distributed, unchanged."""
+    milliseconds). At or below ``driver_threshold`` edges AND
+    ``driver_byte_threshold`` total key bytes (node ids can be long
+    document texts — a row cap alone could send a multi-GB collect into
+    spark.driver.maxResultSize and fail the query instead of falling
+    back), the components are computed with one Arrow collect +
+    path-compressed union-find keyed by min node — identical
+    (node, component=min(component)) output (tests/test_cluster.py asserts
+    driver-vs-distributed equality). Above either threshold the
+    O(log n)-round large/small-star join loop runs distributed, unchanged.
+    Both gates come from ONE aggregation on the checkpointed edge frame —
+    the same measured-gate pattern as the broadcast decision tail."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
-    if e.count() <= driver_threshold:
+    gate = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.length(F.col("src").cast("string")).cast("long")
+                + F.length(F.col("dst").cast("string"))
+            ),
+            F.lit(0),
+        ).alias("key_bytes"),
+    ).collect()[0]
+    if gate["n"] <= driver_threshold and gate["key_bytes"] <= driver_byte_threshold:
         from pyspark.sql import types as T
 
         parent: dict = {}

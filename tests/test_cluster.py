@@ -227,3 +227,19 @@ def test_effective_parent_latest_wins(spark):
     )
     got = effective_parents(events).collect()
     assert len(got) == 1 and got[0]["parent_fdic_id"] == 5
+
+
+def test_cc_byte_gate_falls_back_to_distributed(spark):
+    """driver_byte_threshold=0 must route even a tiny edge list through the
+    distributed star loop (the byte gate protects maxResultSize when node
+    ids are long document texts) — output unchanged."""
+    edges = [("alpha", "beta"), ("beta", "gamma"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        map(tuple, connected_components(df, driver_byte_threshold=0).collect())
+    )
+    want = sorted(
+        map(tuple, connected_components(df).collect())
+    )
+    assert got == want
+    assert dict(got)["gamma"] == "alpha"
